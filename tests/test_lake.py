@@ -1,0 +1,136 @@
+"""LakeTable snapshot-format tests: atomic commits, schema evolution,
+rename, rollback, time travel, GC."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from wage_etl_spark.lake.table import LakeTable, SnapshotConflict
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+def make(spark, warehouse, nb=4):
+    return LakeTable.create(spark, f"{warehouse}/t", SCHEMA, ["repo", "path"], num_buckets=nb)
+
+
+def test_create_empty_read(spark, warehouse):
+    t = make(spark, warehouse)
+    assert t.read().count() == 0
+    assert t.current_version() == 1
+
+
+def test_append_and_read(spark, warehouse):
+    t = make(spark, warehouse)
+    df = spark.createDataFrame([("a", "x", 1), ("b", "y", 2)], SCHEMA)
+    t.append(df)
+    got = {(r["repo"], r["path"], r["v"]) for r in t.read().collect()}
+    assert got == {("a", "x", 1), ("b", "y", 2)}
+
+
+def test_append_accumulates_and_time_travel(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    v2 = t.current_version()
+    t.append(spark.createDataFrame([("b", "y", 2)], SCHEMA))
+    assert t.read().count() == 2
+    assert t.read(version=v2).count() == 1  # time travel
+
+
+def test_overwrite(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    t.overwrite(spark.createDataFrame([("c", "z", 3)], SCHEMA))
+    got = [(r["repo"], r["v"]) for r in t.read().collect()]
+    assert got == [("c", 3)]
+
+
+def test_schema_evolution_on_append(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    evolved = spark.createDataFrame([("b", "y", 2, "extra")], "repo string, path string, v long, note string")
+    t.append(evolved)
+    df = t.read()
+    assert "note" in df.columns
+    rows = {r["repo"]: r["note"] for r in df.collect()}
+    assert rows == {"a": None, "b": "extra"}
+
+
+def test_rename_column_metadata_only(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    files_before = set(t.snapshot().all_files())
+    t.rename_column("v", "version")
+    assert set(t.snapshot().all_files()) == files_before  # no rewrite
+    df = t.read()
+    assert "version" in df.columns and "v" not in df.columns
+    assert df.first()["version"] == 1
+    # writes after a rename land correctly too
+    t.append(spark.createDataFrame([("b", "y", 2)], "repo string, path string, version long"))
+    got = {r["repo"]: r["version"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_rollback(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    v_good = t.current_version()
+    t.append(spark.createDataFrame([("b", "y", 2)], SCHEMA))
+    t.rollback_to(v_good)
+    assert [r["repo"] for r in t.read().collect()] == ["a"]
+    # history is preserved (rollback is a new snapshot, not an erasure)
+    assert t.current_version() > v_good
+
+
+def test_snapshot_conflict(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    # a stale writer that computed an already-committed version must fail
+    stale = t.snapshot()  # same version as committed
+    with pytest.raises(SnapshotConflict):
+        t._write_snapshot(stale)
+
+
+def test_bucket_layout_is_key_pure(spark, warehouse):
+    """Every key lands in exactly one bucket dir across commits."""
+    t = make(spark, warehouse, nb=8)
+    t.append(spark.createDataFrame([("a", "x", 1), ("b", "y", 1)], SCHEMA))
+    t.append(spark.createDataFrame([("a", "x", 2), ("b", "y", 2)], SCHEMA))
+    snap = t.snapshot()
+    for b, files in snap.files.items():
+        import os
+
+        for f in files:
+            df = spark.read.parquet(os.path.join(t.root, f))
+            buckets = (
+                df.select(F.pmod(F.xxhash64("repo", "path"), F.lit(8)).alias("b"))
+                .distinct()
+                .collect()
+            )
+            assert {r["b"] for r in buckets} <= {int(b)}
+
+
+def test_expire_snapshots_gc(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA))
+    t.overwrite(spark.createDataFrame([("b", "y", 2)], SCHEMA))
+    t.overwrite(spark.createDataFrame([("c", "z", 3)], SCHEMA))
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted >= 1
+    assert [r["repo"] for r in t.read().collect()] == ["c"]
+
+
+def test_properties_and_latest_version_where(spark, warehouse):
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("a", "x", 1)], SCHEMA), properties={"epoch": "0"})
+    v_e0 = t.current_version()
+    t.append(spark.createDataFrame([("b", "y", 2)], SCHEMA), properties={"epoch": "1"})
+    assert t.latest_version_where(lambda p: p.get("epoch") == "0") == v_e0

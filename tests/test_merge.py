@@ -1,0 +1,103 @@
+"""MERGE-apply: upsert/delete semantics, bucket pruning, idempotent
+re-application, schema evolution through merge."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wage_etl_spark.lake.table import LakeTable
+from wage_etl_spark.operators.merge import merge_apply
+from wage_etl_spark.streaming.replay import TARGET_SCHEMA, KEY_COLS, ORDERING_COLS
+
+SRC_SCHEMA = (
+    "repo string, path string, commit string, event_seq long, lang string, "
+    "content string, op string"
+)
+
+
+def make_target(spark, warehouse, nb=8):
+    return LakeTable.create(
+        spark, f"{warehouse}/repo_code", TARGET_SCHEMA, KEY_COLS, num_buckets=nb
+    )
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+def _state(t):
+    return {
+        (r["repo"], r["path"]): (r["commit"], r["event_seq"], r["content"])
+        for r in t.read().collect()
+    }
+
+
+def test_insert_update_delete(spark, warehouse):
+    t = make_target(spark, warehouse)
+    merge_apply(t, _src(spark, [
+        ("r1", "a", "1" * 40, 1, "py", "v1", "I"),
+        ("r1", "b", "1" * 40, 2, "py", "w1", "I"),
+    ]), ORDERING_COLS)
+    merge_apply(t, _src(spark, [
+        ("r1", "a", "2" * 40, 3, "py", "v2", "U"),   # update
+        ("r1", "b", "2" * 40, 4, "py", None, "D"),   # delete
+        ("r1", "c", "2" * 40, 5, "py", "x1", "U"),   # upsert-insert (never inserted)
+    ]), ORDERING_COLS)
+    s = _state(t)
+    assert set(s) == {("r1", "a"), ("r1", "c")}
+    assert s[("r1", "a")][2] == "v2"
+
+
+def test_stale_event_loses_to_target(spark, warehouse):
+    t = make_target(spark, warehouse)
+    merge_apply(t, _src(spark, [("r1", "a", "5" * 40, 10, "py", "new", "I")]), ORDERING_COLS)
+    merge_apply(t, _src(spark, [("r1", "a", "3" * 40, 2, "py", "old", "U")]), ORDERING_COLS)
+    assert _state(t)[("r1", "a")][2] == "new"
+
+
+def test_reapply_same_batch_is_idempotent(spark, warehouse):
+    t = make_target(spark, warehouse)
+    batch = [("r1", "a", "4" * 40, 7, "py", "vv", "I"), ("r2", "z", "4" * 40, 8, "py", None, "D")]
+    merge_apply(t, _src(spark, batch), ORDERING_COLS)
+    before = _state(t)
+    merge_apply(t, _src(spark, batch), ORDERING_COLS)
+    assert _state(t) == before
+
+
+def test_bucket_pruning_untouched_files_carry_over(spark, warehouse):
+    """An epoch touching few keys must not rewrite unrelated buckets."""
+    t = make_target(spark, warehouse, nb=16)
+    rows = [(f"r{i}", f"p{i}", "1" * 40, i, "py", f"c{i}", "I") for i in range(200)]
+    merge_apply(t, _src(spark, rows), ORDERING_COLS)
+    snap1 = t.snapshot()
+    merge_apply(t, _src(spark, [("r5", "p5", "2" * 40, 999, "py", "new", "U")]), ORDERING_COLS)
+    snap2 = t.snapshot()
+    changed = {b for b in snap2.files if snap2.files[b] != snap1.files.get(b)}
+    assert len(changed) == 1  # exactly the winner's bucket
+    # and state is still complete
+    assert t.read().count() == 200
+    assert _state(t)[("r5", "p5")][2] == "new"
+
+
+def test_schema_evolution_through_merge(spark, warehouse):
+    t = make_target(spark, warehouse)
+    merge_apply(t, _src(spark, [("r1", "a", "1" * 40, 1, "py", "v1", "I")]), ORDERING_COLS)
+    evolved = spark.createDataFrame(
+        [("r1", "b", "2" * 40, 2, "py", "v2", "I", "py-3")],
+        SRC_SCHEMA + ", lang_version string",
+    )
+    merge_apply(t, evolved, ORDERING_COLS)
+    df = t.read()
+    assert "lang_version" in df.columns
+    got = {r["path"]: r["lang_version"] for r in df.collect()}
+    assert got == {"a": None, "b": "py-3"}
+
+
+def test_merge_empty_source_is_noop(spark, warehouse):
+    t = make_target(spark, warehouse)
+    merge_apply(t, _src(spark, [("r1", "a", "1" * 40, 1, "py", "v1", "I")]), ORDERING_COLS)
+    before = t.snapshot().files
+    snap, rows = merge_apply(t, _src(spark, []), ORDERING_COLS)
+    assert rows == 0 and snap.files == before

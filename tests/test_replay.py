@@ -1,0 +1,84 @@
+"""End-to-end replay vs pure-Python oracle: per-key sha256(content) equality,
+manifest counters, DLQ contents, status rules (the BASELINE.json invariant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wage_etl_spark.lake.manifest import last_committed_epoch
+from wage_etl_spark.sources.events import EpochSource
+from wage_etl_spark.sources.synth import synthesize_events
+from wage_etl_spark.streaming.replay import ReplayConfig, open_tables, replay, verify_state
+
+from tests.oracle import replay_oracle, sha_map
+
+
+def run_replay(spark, warehouse, **synth_kw):
+    ev = synthesize_events(spark, **synth_kw)
+    cfg = ReplayConfig(warehouse=warehouse, num_buckets=8)
+    results = replay(spark, cfg, EpochSource(ev))
+    rows = [r.asDict() for r in ev.collect()]
+    oracle_state, n_valid, n_quar = replay_oracle(rows)
+    return ev, cfg, results, oracle_state, n_valid, n_quar
+
+
+def test_final_state_sha256_equality(spark, warehouse):
+    ev, cfg, results, oracle_state, n_valid, n_quar = run_replay(
+        spark, warehouse, n_events=4000, n_keys=250, n_epochs=4, invalid_frac=0.03
+    )
+    target, dlq, manifest = open_tables(spark, cfg)
+    report = verify_state(spark, target, sha_map(oracle_state))
+    assert report["equal"], report
+    # lineage columns present and populated
+    row = target.read().first()
+    assert row["content_sha256"] is not None and row["epoch"] is not None
+
+
+def test_manifest_counters_match_oracle(spark, warehouse):
+    ev, cfg, results, oracle_state, n_valid, n_quar = run_replay(
+        spark, warehouse, n_events=3000, n_keys=150, n_epochs=3, invalid_frac=0.05
+    )
+    target, dlq, manifest = open_tables(spark, cfg)
+    m = manifest.read().filter(F.col("partition_id").isNull())
+    agg = m.select(
+        F.sum("events_in").alias("ei"), F.sum("rows_quarantined").alias("q")
+    ).first()
+    assert agg["ei"] == ev.count()
+    assert agg["q"] == n_quar
+    assert dlq.read().count() == n_quar
+    # per-partition lineage rows exist
+    assert manifest.read().filter(F.col("partition_id").isNotNull()).count() > 0
+    statuses = {r["status"] for r in m.collect()}
+    assert statuses <= {"SUCCESS", "PARTIAL", "FAILED"}
+    assert "PARTIAL" in statuses  # invalid_frac>0 -> some epoch had rejects
+
+
+def test_all_valid_stream_is_success(spark, warehouse):
+    ev, cfg, results, *_ = run_replay(
+        spark, warehouse, n_events=500, n_keys=50, n_epochs=2, invalid_frac=0.0
+    )
+    assert {r["status"] for r in results} == {"SUCCESS"}
+
+
+def test_replay_twice_is_noop(spark, warehouse):
+    """Re-invoking replay on a fully-committed stream applies nothing."""
+    ev, cfg, results, *_ = run_replay(
+        spark, warehouse, n_events=500, n_keys=50, n_epochs=2
+    )
+    again = replay(spark, cfg, EpochSource(ev))
+    assert again == []
+    target, dlq, manifest = open_tables(spark, cfg)
+    assert last_committed_epoch(manifest) == 1
+
+
+def test_dlq_rows_are_json_of_original_event(spark, warehouse):
+    import json
+
+    ev, cfg, *_ = run_replay(
+        spark, warehouse, n_events=1000, n_keys=60, n_epochs=2, invalid_frac=0.1
+    )
+    target, dlq, manifest = open_tables(spark, cfg)
+    row = dlq.read().first()
+    raw = json.loads(row["raw_data"])
+    assert "repo" in raw and "op" in raw
+    assert 0 < len(row["rejection_reason"]) <= 1000

@@ -1,0 +1,109 @@
+"""Checkpoint manifest — the engine's run tracker.
+
+One row per (epoch, partition) plus one epoch-summary row (partition_id null),
+mirroring the reference's etl_runs table and its start_run/end_run/
+get_latest_run API (/root/reference/src/load/run_tracker.py:13-96) and its
+status decision table (main.py:117-126): nothing loaded -> FAILED, some
+rejected -> PARTIAL, else SUCCESS.
+
+Stored as a LakeTable so manifest appends get the same atomic snapshot
+commit + epoch-tagged rollback as the data tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wage_etl_spark.lake.table import LakeTable
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("epoch", LongType()),
+        StructField("partition_id", IntegerType()),
+        StructField("status", StringType()),
+        StructField("events_in", LongType()),
+        StructField("rows_merged", LongType()),
+        StructField("rows_quarantined", LongType()),
+        StructField("run_id", LongType()),
+        StructField("snapshot_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("error_message", StringType()),
+    ]
+)
+
+
+def create_manifest(spark: SparkSession, root: str) -> LakeTable:
+    return LakeTable.create(spark, root, MANIFEST_SCHEMA, key_cols=["epoch"], num_buckets=1)
+
+
+def epoch_status(events_in: int, rows_valid: int, quarantined: int) -> str:
+    """Reference decision table, main.py:117-126."""
+    if events_in > 0 and rows_valid == 0:
+        return "FAILED"
+    if quarantined > 0:
+        return "PARTIAL"
+    return "SUCCESS"
+
+
+def commit_epoch(
+    manifest: LakeTable,
+    *,
+    epoch: int,
+    run_id: int,
+    status: str,
+    events_in: int,
+    rows_merged: int,
+    rows_quarantined: int,
+    snapshot_id: int,
+    start_ts,
+    end_ts,
+    partition_counts: dict[int, int] | None = None,
+    error_message: str | None = None,
+):
+    """Append the epoch summary row + per-partition (bucket) lineage rows.
+    This is the LAST write of an epoch — its presence is the commit point."""
+    spark = manifest.spark
+    rows = [
+        Row(
+            epoch=epoch, partition_id=None, status=status, events_in=events_in,
+            rows_merged=rows_merged, rows_quarantined=rows_quarantined, run_id=run_id,
+            snapshot_id=snapshot_id, start_ts=start_ts, end_ts=end_ts,
+            error_message=error_message,
+        )
+    ]
+    for pid, cnt in sorted((partition_counts or {}).items()):
+        rows.append(
+            Row(
+                epoch=epoch, partition_id=int(pid), status=status, events_in=None,
+                rows_merged=int(cnt), rows_quarantined=None, run_id=run_id,
+                snapshot_id=snapshot_id, start_ts=start_ts, end_ts=end_ts,
+                error_message=None,
+            )
+        )
+    df = spark.createDataFrame(rows, MANIFEST_SCHEMA)
+    return manifest.append(df, properties={"epoch": str(epoch)})
+
+
+def last_committed_epoch(manifest: LakeTable) -> int:
+    """Newest epoch with a summary row — resume starts at this + 1
+    (reference get_latest_run: ORDER BY start DESC LIMIT 1,
+    run_tracker.py:79-96)."""
+    df = manifest.read().filter(F.col("partition_id").isNull())
+    row = df.select(F.max("epoch").alias("m")).first()
+    return int(row["m"]) if row and row["m"] is not None else -1
+
+
+def next_run_id(manifest: LakeTable) -> int:
+    df = manifest.read()
+    row = df.select(F.max("run_id").alias("m")).first()
+    return (int(row["m"]) + 1) if row and row["m"] is not None else 1

@@ -1,0 +1,380 @@
+"""LakeTable — a minimal Iceberg-style snapshot table format on parquet.
+
+No Iceberg runtime jar ships in this sandbox, so the engine carries its own
+snapshot layer implementing the same contract the north rule needs from
+Iceberg: atomic snapshot commits, copy-on-write MERGE with partition (bucket)
+pruning, schema evolution on write, snapshot properties (WAP-style epoch
+tags), rollback, and time travel. On a production cluster this class is a
+drop-in seam: every call site goes through ``merge_apply``/``append``/``read``
+and can be re-pointed at ``spark.sql("MERGE INTO ...")`` over a real Iceberg
+catalog without touching the operators.
+
+Physical layout::
+
+    <root>/
+      _meta/
+        snap-00000001.json   # full snapshot: schema, bucket spec, file list
+        version-hint.text    # latest committed version (atomic rename)
+      data/
+        <commit-uuid>/_b=<bucket>/part-*.parquet
+
+Commit protocol (single-writer optimistic): a writer computes version =
+latest + 1 and creates ``snap-{v}.json`` with O_EXCL — a concurrent committer
+loses and raises ``SnapshotConflict``. The hint file is then replaced via
+``os.replace`` (atomic on POSIX). Readers only ever see fully-committed
+snapshots; a crash mid-write leaves orphan data files that ``expire_snapshots``
+garbage-collects, never a torn table (same guarantee as Iceberg's metadata
+pointer swap).
+
+Bucketing: rows are hash-bucketed by key columns, ``pmod(xxhash64(*keys), N)``.
+All versions of one key live in exactly one bucket, so MERGE rewrites only the
+buckets the source touches — at 10^10-event scale with N=4096 buckets an epoch
+that touches 1% of keys rewrites ~1% of the table, not all of it.
+
+Reference parity: the atomic snapshot commit plays the role of the reference's
+per-connection transaction (``/root/reference/src/load/db.py:15-33`` — commit
+on success, rollback = no snapshot produced); the bucket layout plays the role
+of its natural-key unique index (``sql/migrations/V009...:4-5``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+HINT_FILE = "version-hint.text"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the same version first."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str
+    key_cols: list[str]
+    num_buckets: int
+    files: dict[str, list[str]]  # bucket id (str) -> relative file paths
+    operation: str
+    properties: dict[str, str]
+    parent: int | None
+    timestamp_ms: int
+    renames: dict[str, str]  # physical column name -> current logical name
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": json.loads(self.schema_json),
+                "key_cols": self.key_cols,
+                "num_buckets": self.num_buckets,
+                "files": self.files,
+                "operation": self.operation,
+                "properties": self.properties,
+                "parent": self.parent,
+                "timestamp_ms": self.timestamp_ms,
+                "renames": self.renames,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        d = json.loads(text)
+        return Snapshot(
+            version=d["version"],
+            schema_json=json.dumps(d["schema"]),
+            key_cols=d["key_cols"],
+            num_buckets=d["num_buckets"],
+            files={str(k): v for k, v in d["files"].items()},
+            operation=d["operation"],
+            properties=d.get("properties", {}),
+            parent=d.get("parent"),
+            timestamp_ms=d.get("timestamp_ms", 0),
+            renames=d.get("renames", {}),
+        )
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+    def all_files(self) -> list[str]:
+        return [f for fs in self.files.values() for f in fs]
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """Stable hash bucket of the natural key — xxhash64 is version-stable in
+    Spark, so bucket assignment survives re-runs and engine upgrades."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.meta_dir = os.path.join(self.root, "_meta")
+        self.data_dir = os.path.join(self.root, "data")
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        key_cols: list[str],
+        num_buckets: int = 32,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(
+            version=1,
+            schema_json=schema.json(),
+            key_cols=list(key_cols),
+            num_buckets=num_buckets,
+            files={},
+            operation="create",
+            properties=properties or {},
+            parent=None,
+            timestamp_ms=int(time.time() * 1000),
+            renames={},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, HINT_FILE))
+
+    # ------------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, HINT_FILE)) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"snap-{v:08d}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(Snapshot.from_json(f.read()))
+        return out
+
+    def _next_version(self) -> int:
+        vs = [
+            int(n[5:13])
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+        return (max(vs) + 1) if vs else 1
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        path = os.path.join(self.meta_dir, f"snap-{snap.version:08d}.json")
+        try:
+            with open(path, "x") as f:
+                f.write(snap.to_json())
+        except FileExistsError as e:
+            raise SnapshotConflict(f"version {snap.version} already committed") from e
+        tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(snap.version))
+        os.replace(tmp, os.path.join(self.meta_dir, HINT_FILE))
+
+    def _commit(
+        self,
+        files: dict[str, list[str]],
+        schema: StructType,
+        operation: str,
+        properties: dict[str, str],
+        renames: dict[str, str] | None = None,
+        parent: Snapshot | None = None,
+    ) -> Snapshot:
+        parent = parent or self.snapshot()
+        snap = Snapshot(
+            version=self._next_version(),
+            schema_json=schema.json(),
+            key_cols=parent.key_cols,
+            num_buckets=parent.num_buckets,
+            files=files,
+            operation=operation,
+            properties=properties,
+            parent=parent.version,
+            timestamp_ms=int(time.time() * 1000),
+            renames=renames if renames is not None else parent.renames,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ------------------------------------------------------------------ read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        files = [os.path.join(self.root, f) for f in snap.all_files()]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        df = self.spark.read.schema(self._physical_schema(snap)).parquet(*files)
+        for old, new in snap.renames.items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return df
+
+    def _physical_schema(self, snap: Snapshot) -> StructType:
+        """Schema with logical renames undone — matches what is in the files."""
+        inverse = {v: k for k, v in snap.renames.items()}
+        fields = []
+        for f in snap.schema.fields:
+            fields.append(type(f)(inverse.get(f.name, f.name), f.dataType, True))
+        return StructType(fields)
+
+    # ----------------------------------------------------------------- write
+
+    def _write_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[str]]:
+        """Write df bucketed by key into a fresh commit dir; returns the
+        bucket -> relative-path map. One parquet file per bucket: the
+        repartition below is the only shuffle, and downstream MERGE reads
+        are pruned per bucket."""
+        commit_dir = f"{uuid.uuid4().hex}"
+        out_path = os.path.join(self.data_dir, commit_dir)
+        physical = df
+        for old, new in snap.renames.items():
+            if new in physical.columns:
+                physical = physical.withColumnRenamed(new, old)
+        physical = physical.withColumn("_b", bucket_expr([
+            {v: k for k, v in snap.renames.items()}.get(c, c) for c in snap.key_cols
+        ], snap.num_buckets))
+        (
+            physical.repartition(snap.num_buckets, "_b")
+            .write.partitionBy("_b")
+            .mode("append")
+            .parquet(out_path)
+        )
+        files: dict[str, list[str]] = {}
+        if os.path.exists(out_path):
+            for bdir in os.listdir(out_path):
+                if not bdir.startswith("_b="):
+                    continue
+                b = str(int(bdir.split("=")[1]))
+                for fn in os.listdir(os.path.join(out_path, bdir)):
+                    if fn.endswith(".parquet"):
+                        files.setdefault(b, []).append(
+                            os.path.join("data", commit_dir, bdir, fn)
+                        )
+        return files
+
+    def _merged_schema(self, df: DataFrame) -> tuple[StructType, DataFrame, bool]:
+        """Schema-evolution-on-write: union of current schema and df's schema
+        (new columns appended, nullable) — the Iceberg ``mergeSchema`` analog;
+        reference analog: migration V008 adding a NOT NULL column
+        (/root/reference/sql/migrations/V008__ALTER_county_fips_and_add_year.sql)."""
+        cur = self.snapshot().schema
+        cur_names = {f.name for f in cur.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in cur_names]
+        evolved = len(new_fields) > 0
+        schema = StructType(list(cur.fields) + [
+            type(f)(f.name, f.dataType, True) for f in new_fields
+        ])
+        aligned = df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        return schema, aligned, evolved
+
+    def append(self, df: DataFrame, properties: dict[str, str] | None = None) -> Snapshot:
+        snap = self.snapshot()
+        schema, aligned, _ = self._merged_schema(df)
+        new_files = self._write_files(aligned, snap)
+        merged = {b: list(fs) for b, fs in snap.files.items()}
+        for b, fs in new_files.items():
+            merged.setdefault(b, []).extend(fs)
+        return self._commit(merged, schema, "append", properties or {}, parent=snap)
+
+    def overwrite(self, df: DataFrame, properties: dict[str, str] | None = None) -> Snapshot:
+        snap = self.snapshot()
+        schema, aligned, _ = self._merged_schema(df)
+        new_files = self._write_files(aligned, snap)
+        return self._commit(new_files, schema, "overwrite", properties or {}, parent=snap)
+
+    # ------------------------------------------------------------- utilities
+
+    def rename_column(self, old: str, new: str, properties: dict[str, str] | None = None) -> Snapshot:
+        """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME COLUMN
+        analog): no data files are rewritten; reads remap on the fly."""
+        snap = self.snapshot()
+        fields = []
+        for f in snap.schema.fields:
+            fields.append(type(f)(new if f.name == old else f.name, f.dataType, f.nullable))
+        renames = dict(snap.renames)
+        # chase chains: physical name is the original file column name
+        physical = next((p for p, cur in renames.items() if cur == old), old)
+        renames[physical] = new
+        return self._commit(
+            snap.files, StructType(fields), "rename", properties or {}, renames=renames, parent=snap
+        )
+
+    def rollback_to(self, version: int, properties: dict[str, str] | None = None) -> Snapshot:
+        """New snapshot pointing at an old snapshot's files (Iceberg
+        rollback semantics — history is preserved, the table state rewinds)."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        return self._commit(
+            target.files,
+            target.schema,
+            "rollback",
+            {**(properties or {}), "rolled_back_to": str(version)},
+            renames=target.renames,
+            parent=cur,
+        )
+
+    def latest_version_where(self, pred) -> int | None:
+        """Newest snapshot version whose properties satisfy ``pred`` —
+        used by resume logic to find epoch-tagged snapshots (WAP analog)."""
+        for snap in reversed(self.history()):
+            if pred(snap.properties):
+                return snap.version
+        return None
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """GC data files unreachable from the newest ``keep_last`` snapshots.
+        Returns number of deleted files. (Iceberg expire_snapshots analog.)"""
+        hist = self.history()
+        keep = hist[-keep_last:]
+        live = {f for s in keep for f in s.all_files()}
+        deleted = 0
+        for dirpath, _dirs, fnames in os.walk(self.data_dir):
+            for fn in fnames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    deleted += 1
+        for s in hist[:-keep_last]:
+            p = os.path.join(self.meta_dir, f"snap-{s.version:08d}.json")
+            if os.path.exists(p) and s.version != self.current_version():
+                os.remove(p)
+        return deleted
+
+    def stats(self) -> dict[str, Any]:
+        snap = self.snapshot()
+        return {
+            "version": snap.version,
+            "num_buckets": snap.num_buckets,
+            "num_files": len(snap.all_files()),
+            "operation": snap.operation,
+            "properties": snap.properties,
+        }

@@ -1,0 +1,116 @@
+"""MERGE-apply: copy-on-write upsert of deduped change events into a LakeTable.
+
+Semantics = Iceberg ``MERGE INTO target t USING winners s ON t.repo=s.repo AND
+t.path=s.path WHEN MATCHED AND s.op='D' THEN DELETE WHEN MATCHED THEN UPDATE
+SET * WHEN NOT MATCHED AND s.op<>'D' THEN INSERT *`` — which is itself the
+Spark-native form of the reference's ``INSERT ... ON CONFLICT DO UPDATE``
+(/root/reference/src/load/staging.py:50-59).
+
+Physical plan (why it scales):
+
+1. winners are bucketed with the *same* hash spec as the table, so the set of
+   touched buckets is exact; untouched buckets' files carry over to the new
+   snapshot untouched — an epoch touching 1% of keys rewrites ~1% of data.
+2. target-side read is pruned to touched buckets' files only (file-level
+   pruning, the LakeTable stand-in for Iceberg partition pruning).
+3. the match itself is not a join: target rows and winners are unioned and
+   run through the same LWW argmax as dedup, with ``is_source`` as final
+   tiebreak. One hash aggregate with map-side partials instead of a
+   shuffle-join — and re-applying the same epoch is trivially idempotent
+   (equal versions -> source wins -> identical bytes out).
+4. op='D' winners simply drop out after the argmax: tombstones never persist
+   because each touched bucket is rewritten whole (copy-on-write).
+
+MERGE's duplicate-source-key hazard (Iceberg raises on ambiguous matches) is
+structurally impossible here: callers pass ``dedup_lww`` output, and the
+argmax would collapse duplicates anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wage_etl_spark.lake.table import LakeTable, Snapshot, bucket_expr
+from wage_etl_spark.operators.dedup_lww import dedup_lww
+
+
+def merge_apply(
+    table: LakeTable,
+    winners: DataFrame,
+    ordering_cols: list[str],
+    op_col: str = "op",
+    properties: dict[str, str] | None = None,
+) -> tuple[Snapshot, int]:
+    """Apply deduped winners to the table; returns (snapshot, rows_written).
+
+    ``winners`` must contain the table's key columns, the ordering columns,
+    an op column in {I,U,D}, and any payload columns (new payload columns
+    trigger schema evolution on write).
+    """
+    snap = table.snapshot()
+    key_cols = snap.key_cols
+
+    # 1. bucket the source and find touched buckets (tiny collect: <= N ints)
+    src = winners.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
+    touched = sorted(r["_b"] for r in src.select("_b").distinct().collect())
+    if not touched:
+        return table._commit(snap.files, snap.schema, "merge-noop", properties or {}, parent=snap), 0
+
+    # 2. schema evolution: union of table schema and source payload schema
+    src_payload = winners.drop(op_col)
+    schema, _, _ = table._merged_schema(src_payload)
+
+    # 3. pruned target read: only files of touched buckets
+    import os
+
+    touched_set = {str(b) for b in touched}
+    tfiles = [
+        os.path.join(table.root, f)
+        for b, fs in snap.files.items()
+        if b in touched_set
+        for f in fs
+    ]
+    if tfiles:
+        target = table.spark.read.schema(table._physical_schema(snap)).parquet(*tfiles)
+        for old, new in snap.renames.items():
+            if old in target.columns:
+                target = target.withColumnRenamed(old, new)
+        # files are bucket-pure but may contain keys of other buckets only if
+        # bucket spec changed; keep a cheap belt-and-braces filter that
+        # Catalyst folds into the scan
+        target = target.withColumn("_b", bucket_expr(key_cols, snap.num_buckets)).filter(
+            F.col("_b").isin(*touched)
+        ).drop("_b")
+    else:
+        target = table.spark.createDataFrame([], snap.schema)
+
+    # 4. align both sides to the evolved schema + merge metadata columns
+    def align(df: DataFrame, is_source: int, op_expr) -> DataFrame:
+        cols = [
+            (F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols, F.lit(is_source).alias("_is_source"), op_expr.alias("_op"))
+
+    unioned = align(target, 0, F.lit("U")).unionByName(
+        align(src.drop("_b"), 1, F.col(op_col) if op_col in winners.columns else F.lit("U"))
+    )
+
+    # 5. LWW argmax with is_source tiebreak; deletes drop out
+    merged = dedup_lww(
+        unioned,
+        key_cols=key_cols,
+        ordering_cols=[*ordering_cols, "_is_source"],
+    )
+    result = merged.filter(F.col("_op") != "D").drop("_is_source", "_op")
+
+    # 6. write only touched buckets; splice file map
+    new_files = table._write_files(result, snap)
+    spliced = {b: list(fs) for b, fs in snap.files.items() if b not in touched_set}
+    for b, fs in new_files.items():
+        spliced[b] = fs
+    new_snap = table._commit(spliced, schema, "merge", properties or {}, parent=snap)
+    # parquet footer metadata count — no data scan
+    written = [os.path.join(table.root, f) for fs in new_files.values() for f in fs]
+    rows = table.spark.read.parquet(*written).count() if written else 0
+    return new_snap, rows

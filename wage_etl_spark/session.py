@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the CDC merge-apply workload.
+
+Scale rationale (designed for a 1000-executor cluster, tested on local[N]):
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting —
+  hot-repo event bursts (see sources/synth.py) produce skewed shuffle
+  partitions that AQE re-splits.
+- shuffle.partitions defaults to 2x cores locally; on a real cluster this is
+  set per-job from input size (events_per_epoch / target_partition_rows).
+- Arrow enabled: every Python-side stage is an Arrow-batched pandas UDF,
+  never per-row Python (north-rule requirement; the reference's known scalar
+  bottleneck was its per-row Pydantic loop, pandas_ops.py:108-121).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wage-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to 2x the local core count so the LWW
+    argmax aggregation and the merge join both get map-side partials without
+    tiny-partition overhead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] / local[*] -> N partitions-per-core heuristic
+        inner = master[master.find("[") + 1 : master.rfind("]")] if "[" in master else str(cpus)
+        cores = cpus if inner == "*" else int(inner)
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # deterministic parquet output (no task-attempt suffixed duplicates)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

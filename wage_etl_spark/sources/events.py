@@ -1,0 +1,54 @@
+"""Epoch-batched change-event sources.
+
+The reference consumed a lazy generator of per-county results
+(/root/reference/src/extract/extract_ops.py:55-62); here the unbounded stream
+is consumed in commit-epoch batches — each epoch is one exactly-once unit.
+
+An EpochSource yields, per epoch, a DataFrame *with that epoch's schema*:
+columns that are entirely absent (all-null) in an epoch are dropped, so a
+later epoch genuinely "adds" a column and exercises schema-merge-on-write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# columns that may appear mid-stream (schema-evolution candidates)
+EVOLVABLE = ("lang_version",)
+
+
+class EpochSource:
+    """Wraps a full events DataFrame (or parquet path) into per-epoch reads."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._max_epoch: int | None = None
+
+    @staticmethod
+    def from_parquet(spark: SparkSession, path: str) -> "EpochSource":
+        return EpochSource(spark.read.parquet(path))
+
+    def max_epoch(self) -> int:
+        if self._max_epoch is None:
+            row = self._df.select(F.max("epoch").alias("m")).first()
+            self._max_epoch = int(row["m"]) if row and row["m"] is not None else -1
+        return self._max_epoch
+
+    def epoch(self, e: int) -> DataFrame:
+        """Events of epoch ``e``; partition-pruned when the backing parquet is
+        written ``partitionBy("epoch")`` (the filter reaches the scan)."""
+        df = self._df.filter(F.col("epoch") == e)
+        present = [c for c in df.columns if c in EVOLVABLE]
+        if present:
+            counts = df.select(
+                *[F.count(F.col(c)).alias(c) for c in present]
+            ).first()
+            dead = [c for c in present if counts and counts[c] == 0]
+            if dead:
+                df = df.drop(*dead)
+        return df
+
+
+EpochFn = Callable[[int], DataFrame]
