@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship CDC last-writer-wins query at
+sf0.001; `queries()` exposes each implemented operator from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-equivalent SQL.
+
+Parity rules used throughout (so the driver's value-hash matches):
+- every computed column is aliased identically on both sides;
+- floating-point aggregates are rounded (sums 2dp, ratios/sims 4-6dp);
+- any hash-derived value uses md5 (identical in Spark and DuckDB), never
+  engine-specific hashes;
+- rankings order by rounded keys with explicit id tie-breaks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
+from wage_etl_spark.functions import text as T
+from wage_etl_spark.functions.cleaning import clean_currency, normalize_category_key, slugify, zfill
+from wage_etl_spark.functions.hashing import rolling_fingerprint
+from wage_etl_spark.operators.dedup_lww import dedup_lww
+from wage_etl_spark.operators.dedupe import exact_dedup, minhash_signatures
+from wage_etl_spark.operators.similarity import (
+    as_double, assign_nearest_centroid, brute_force_topk, cosine, label_centroids,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- CDC
+
+EVENT_TYPES = ["signup", "click", "view", "purchase"]  # 'error' is the bad enum
+
+
+def q_cdc_lww_state(spark: SparkSession, sf: str) -> DataFrame:
+    """LWW final state per key (A5/S7 analog on the generic events table):
+    the engine's central dedup operator, keyed by user_id, ordered by
+    (ts, event_id)."""
+    ev = _t(spark, sf, "events")
+    last = dedup_lww(ev, ["user_id"], ["ts", "event_id"])
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return (
+        last.join(counts, "user_id")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_events",
+        )
+    )
+
+
+def q_cdc_validate_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Validation split (V1-V9 analog): violations array -> reason counts;
+    valid rows show up as reason '(valid)'."""
+    ev = _t(spark, sf, "events")
+    rules = [
+        ("bad_event_type", F.col("event_type").isin(*EVENT_TYPES)),
+        ("null_user", F.col("user_id").isNotNull()),
+        ("value_out_of_range", F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("value") <= 300)),
+    ]
+    viol = F.array_compact(F.array(*[F.when(~ok, F.lit(r)) for r, ok in rules]))
+    reason = F.when(F.size(viol) == 0, F.lit("(valid)")).otherwise(F.concat_ws(";", viol))
+    return (
+        ev.select(reason.alias("rejection_reason"))
+        .groupBy("rejection_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via lag window: gap > 30 min starts a new session."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # whole-second epochs on both sides (oracle uses floor(epoch(ts))) so
+    # sub-second fractions cannot flip the 30-min boundary differently
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_latest_event_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-1 latest (reference get_latest_run, run_tracker.py:79-96):
+    Catalyst plans orderBy+limit as TakeOrderedAndProject."""
+    ev = _t(spark, sf, "events")
+    return ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+# ------------------------------------------------------------------- TPC-H
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    cu = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    re = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    na = _t(spark, sf, "nation")
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_broadcast_enum_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/J2 analog: broadcast join against a literal dimension with slug
+    fallback for unknown members (normalizers.py:62-72 semantics)."""
+    dim = spark.createDataFrame(
+        [("signup", "acquisition"), ("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    ev = _t(spark, sf, "events")
+    return (
+        ev.join(broadcast(dim), "event_type", "left")
+        .withColumn("category", F.coalesce("category", slugify(F.col("event_type"))))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """U2 melt: wide measures -> long, then aggregate per measure."""
+    li = _t(spark, sf, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# --------------------------------------------------------------- functions
+
+MONEY_FIXTURE = [
+    (1, "$18.71"), (2, "$1,000"), (3, "invalid"), (4, None), (5, "  $2,500.50 "),
+    (6, "$0.00"), (7, "42"), (8, "$1,234,567.89"), (9, ""), (10, "$ 12.34"),
+]
+
+
+def q_currency_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """F1: currency cleaning on the reference's own fixture shapes
+    (tests/unit/test_transform_pandas_ops.py:73-98)."""
+    df = spark.createDataFrame(MONEY_FIXTURE, "id int, raw string")
+    return df.select("id", "raw", clean_currency("raw").alias("amount"))
+
+
+def q_fips_key_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """F5/F7/F8/F13: zfill, concat keys, substring split, case."""
+    na = _t(spark, sf, "nation")
+    return na.select(
+        "n_nationkey",
+        zfill("n_nationkey", 5).alias("nation_fips"),
+        F.concat(zfill("n_regionkey", 2), zfill("n_nationkey", 3)).alias("full_fips"),
+        F.substring(F.col("n_name"), 1, 3).alias("name_prefix"),
+        F.upper(F.col("n_name")).alias("name_upper"),
+    )
+
+
+def q_header_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/F3/F4: canonicalization chain + slug on part type strings."""
+    pt = _t(spark, sf, "part")
+    return (
+        pt.select(
+            normalize_category_key("p_type").alias("type_key"),
+            slugify(F.col("p_type")).alias("type_slug"),
+        )
+        .groupBy("type_key", "type_slug")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ------------------------------------------------------- training-data ops
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(T.avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    scores = T.lang_scores("text")
+    g = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # fixed CASE order = deterministic tie-break, mirrored in the oracle SQL
+    expr = None
+    for lang in T.LANG_MARKERS:
+        cond = scores[lang] == g
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    d2 = d.select("doc_id", "lang", expr.alias("predicted_lang"))
+    return d2.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_token_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", rolling_fingerprint(T.ws_tokens("text")).alias("fingerprint"))
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf, "documents"), "text", "doc_id").select(
+        "text_md5", F.col("keeper_id").cast("long").alias("keeper_id"), F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (8 hashes, 3-token shingles), exploded to scalar
+    rows so the value-hash comparison is array-free."""
+    sigs = minhash_signatures(_t(spark, sf, "documents"), "text", "doc_id", num_hashes=8, k=3)
+    return sigs.select("doc_id", F.posexplode("signature").alias("h_idx", "minhash")).select(
+        "doc_id", F.col("h_idx").cast("long").alias("h_idx"), "minhash"
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = brute_force_topk(emb, queries, "embedding", "vec_id", k=3)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style assignment: nearest label-centroid per vector (centroid
+    components rounded to 8dp on both sides so engine-order FP noise in the
+    avg cannot flip rankings)."""
+    emb = _t(spark, sf, "embeddings")
+    cents = label_centroids(emb, "embedding", "label").select(
+        "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
+    )
+    out = assign_nearest_centroid(emb, cents, "embedding", "vec_id")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("assigned_label").cast("long").alias("assigned_label"),
+        "sim",
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins state on sf0.001."""
+    return q_cdc_lww_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_state": q_cdc_lww_state,
+        "cdc_validate_split": q_cdc_validate_split,
+        "events_sessionize": q_events_sessionize,
+        "latest_event_top1": q_latest_event_top1,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "broadcast_enum_join": q_broadcast_enum_join,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "currency_clean": q_currency_clean,
+        "fips_key_functions": q_fips_key_functions,
+        "header_normalize": q_header_normalize,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_fingerprint": q_token_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "embedding_topk": q_embedding_topk,
+        "embedding_centroids": q_embedding_centroids,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+    "(s, x) -> s + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)), "
+    "(s, x) -> s + x))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+_TOKENS = "regexp_split_to_array(trim({c}), '\\s+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKENS.format(c="text")
+    shingles = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
+        f"i -> array_to_string(({toks})[i:i+2], ' ')))"
+    )
+    lang_score = {
+        lang: " + ".join(
+            f"((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '{m}', ''))) // {len(m)})"
+            for m in ms
+        )
+        for lang, ms in T.LANG_MARKERS.items()
+    }
+    lang_case = " ".join(
+        f"WHEN s_{lang} = g THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    money_values = ", ".join(
+        f"({i}, {repr(s) if s is not None else 'NULL'})" for i, s in MONEY_FIXTURE
+    ).replace("'NULL'", "NULL")
+
+    return {
+        "cdc_lww_state": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ), counts AS (
+              SELECT user_id, count(*)::BIGINT n_events FROM events GROUP BY user_id
+            )
+            SELECT r.user_id, r.event_type AS last_event_type,
+                   round(r.value, 2) AS last_value, r.ts AS last_ts, c.n_events
+            FROM ranked r JOIN counts c USING (user_id) WHERE r.rn = 1
+        """,
+        "cdc_validate_split": """
+            SELECT CASE WHEN reasons = '' THEN '(valid)' ELSE reasons END AS rejection_reason,
+                   count(*)::BIGINT AS n
+            FROM (
+              SELECT concat_ws(';',
+                CASE WHEN event_type NOT IN ('signup','click','view','purchase') THEN 'bad_event_type' END,
+                CASE WHEN user_id IS NULL THEN 'null_user' END,
+                CASE WHEN NOT (value IS NOT NULL AND value >= 0 AND value <= 300) THEN 'value_out_of_range' END
+              ) AS reasons FROM events
+            ) GROUP BY 1
+        """,
+        "events_sessionize": """
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                          WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "latest_event_top1": """
+            SELECT event_id, user_id, event_type, ts FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 1
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "broadcast_enum_join": """
+            WITH dim(event_type, category) AS (VALUES
+              ('signup','acquisition'), ('click','engagement'),
+              ('view','engagement'), ('purchase','revenue'))
+            SELECT coalesce(d.category,
+                     replace(trim(regexp_replace(lower(e.event_type), '[^\\w]+', ' ', 'g')), ' ', '_')
+                   ) AS category,
+                   count(*)::BIGINT AS n, round(sum(e.value), 2) AS total_value
+            FROM events e LEFT JOIN dim d USING (event_type)
+            GROUP BY 1
+        """,
+        "unpivot_lineitem": """
+            SELECT measure, round(sum(value), 2) AS total, count(*)::BIGINT AS n
+            FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+              UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+            ) GROUP BY measure
+        """,
+        "currency_clean": f"""
+            SELECT id, raw,
+                   coalesce(try_cast(trim(regexp_replace(raw, '[\\$,]', '', 'g')) AS DOUBLE), 0.0) AS amount
+            FROM (VALUES {money_values}) AS t(id, raw)
+        """,
+        "fips_key_functions": """
+            SELECT n_nationkey,
+                   lpad(n_nationkey::VARCHAR, 5, '0') AS nation_fips,
+                   lpad(n_regionkey::VARCHAR, 2, '0') || lpad(n_nationkey::VARCHAR, 3, '0') AS full_fips,
+                   substr(n_name, 1, 3) AS name_prefix,
+                   upper(n_name) AS name_upper
+            FROM nation
+        """,
+        "header_normalize": """
+            SELECT trim(regexp_replace(lower(p_type), '[^\\w]+', ' ', 'g')) AS type_key,
+                   replace(trim(regexp_replace(lower(p_type), '[^\\w]+', ' ', 'g')), ' ', '_') AS type_slug,
+                   count(*)::BIGINT AS n
+            FROM part GROUP BY 1, 2
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   len({toks})::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+                   round(list_reduce(list_prepend(0::BIGINT, list_transform({toks}, t -> length(t)::BIGINT)), (a,b) -> a+b)
+                         / greatest(len({toks}), 1), 4) AS avg_token_len,
+                   round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(least(len({toks}) / 100.0, 1.0) * 0.4
+                         + (CASE WHEN (list_reduce(list_prepend(0::BIGINT, list_transform({toks}, t -> length(t)::BIGINT)), (a,b) -> a+b)
+                                       / greatest(len({toks}), 1)) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.4
+                         + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                                                / greatest(length(text), 1)) * 5) * 0.2, 6) AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     {', '.join(f'({expr}) AS s_{lang}' for lang, expr in lang_score.items())}
+              FROM documents
+            ), g AS (
+              SELECT *, greatest({', '.join('s_' + l for l in T.LANG_MARKERS)}) AS g FROM scored
+            )
+            SELECT lang, CASE {lang_case} END AS predicted_lang, count(*)::BIGINT AS n
+            FROM g GROUP BY 1, 2
+        """,
+        "token_fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+                     (h, t) -> (h * 1000003 + t) % 1000000007) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            SELECT doc_id, j::BIGINT AS h_idx,
+                   list_min(list_transform({shingles},
+                     s -> ('0x' || substr(md5(s || '#' || j), 1, 8))::BIGINT)) AS minhash
+            FROM documents, generate_series(0, 7) AS t(j)
+        """,
+        "embedding_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {_cos('q.qv', 'e.embedding')} AS cos_exact
+              FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(cos_exact, 6) DESC, neighbor_id ASC) AS rank,
+                     cos_exact
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos_exact, 4) AS cosine
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_centroids": f"""
+            WITH comp AS (
+              SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 8) AS v
+              FROM embeddings, generate_series(1, 64) AS t(i)
+              GROUP BY label, i
+            ), cents AS (
+              SELECT label, list(v ORDER BY pos) AS centroid FROM comp GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, c.label, {_cos('e.embedding', 'c.centroid')} AS sim_exact
+              FROM embeddings e CROSS JOIN cents c
+            ), ranked AS (
+              SELECT vec_id, label, sim_exact,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY round(sim_exact, 6) DESC, label ASC) AS rn
+              FROM scored
+            )
+            SELECT vec_id, label::BIGINT AS assigned_label, round(sim_exact, 4) AS sim
+            FROM ranked WHERE rn = 1
+        """,
+    }

@@ -12,7 +12,6 @@ import hashlib
 import re
 
 COMMIT_RE = re.compile(r"^[0-9a-f]{40}$")
-PRINTABLE_RE = re.compile(r"[\x20-\x7E\t\n\r -￿]")
 OPS = {"I", "U", "D"}
 
 
@@ -37,9 +36,7 @@ def validate(ev: dict) -> list[str]:
         reasons.append("upsert_without_content")
     c = ev.get("content")
     if c is not None:
-        if len(c.strip()) == 0 or (
-            len(PRINTABLE_RE.findall(c)) / max(len(c), 1) < 0.9
-        ):
+        if len(c.strip()) == 0 or "\x00" in c:
             reasons.append("malformed_content")
     return reasons
 

@@ -99,5 +99,5 @@ def test_merge_empty_source_is_noop(spark, warehouse):
     t = make_target(spark, warehouse)
     merge_apply(t, _src(spark, [("r1", "a", "1" * 40, 1, "py", "v1", "I")]), ORDERING_COLS)
     before = t.snapshot().files
-    snap, rows = merge_apply(t, _src(spark, []), ORDERING_COLS)
-    assert rows == 0 and snap.files == before
+    snap, rows, buckets = merge_apply(t, _src(spark, []), ORDERING_COLS)
+    assert rows == 0 and buckets == {} and snap.files == before

@@ -71,6 +71,18 @@ def test_replay_twice_is_noop(spark, warehouse):
     assert last_committed_epoch(manifest) == 1
 
 
+def test_shuffle_fallback_dedup_matches_oracle(spark, warehouse):
+    """broadcast_key_limit=0 forces the 10^10-scale argmax-shuffle path;
+    result must be identical to the broadcast path and the oracle."""
+    ev = synthesize_events(spark, n_events=3000, n_keys=150, n_epochs=2, invalid_frac=0.05)
+    cfg = ReplayConfig(warehouse=warehouse, num_buckets=8, broadcast_key_limit=0)
+    replay(spark, cfg, EpochSource(ev))
+    target, dlq, manifest = open_tables(spark, cfg)
+    oracle_state, n_valid, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
+    assert verify_state(spark, target, sha_map(oracle_state))["equal"]
+    assert dlq.read().count() == n_quar
+
+
 def test_dlq_rows_are_json_of_original_event(spark, warehouse):
     import json
 

@@ -1,0 +1,115 @@
+"""Unit tests: reshape (melt + wage normalization on the reference's own
+fixture shapes), MinHash-LSH pair generation, SimHash near-dups, n-gram
+Jaccard, hyperplane LSH buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wage_etl_spark.operators.dedupe import (
+    minhash_lsh_pairs, ngram_jaccard, simhash_near_dups, token_shingles,
+)
+from wage_etl_spark.operators.reshape import melt, normalize_wages_wide
+from wage_etl_spark.operators.similarity import hyperplane_lsh_buckets
+
+
+# --- reshape -----------------------------------------------------------
+
+WIDE_COLS = ["Category", "1 adult", "2 adults (1 working) 1 child", "county_fips"]
+
+
+def _wide(spark):
+    # the reference's wide-table fixture shape
+    # (/root/reference/tests/unit/test_transform_pandas_ops.py:228-245)
+    return spark.createDataFrame(
+        [
+            ("Living Wage", "$18.71", "$38.87", "001"),
+            ("Poverty Wage", "$6.19", "$10.56", "001"),
+        ],
+        ", ".join(f"`{c}` string" for c in WIDE_COLS),
+    )
+
+
+def test_melt_row_arithmetic(spark):
+    """2 categories x 2 family configs = 4 rows (reference melt test)."""
+    out = melt(_wide(spark), ["Category", "county_fips"],
+               ["1 adult", "2 adults (1 working) 1 child"], "family", "value")
+    assert out.count() == 4
+    assert set(out.columns) == {"Category", "county_fips", "family", "value"}
+
+
+def test_normalize_wages_wide_end_to_end(spark):
+    out = normalize_wages_wide(_wide(spark), "34001", "2025-01-15")
+    rows = {(r["wage_type"], r["adults"], r["working_adults"], r["children"]): r["hourly_wage"]
+            for r in out.collect()}
+    # expected long records (reference src/load/README.md:92-104)
+    assert rows[("living", 1, 1, 0)] == 18.71
+    assert rows[("living", 2, 1, 1)] == 38.87
+    assert rows[("poverty", 1, 1, 0)] == 6.19
+    fips = {r["county_fips"] for r in out.collect()}
+    assert fips == {"34001"}
+
+
+def test_normalize_unknown_category_slug_fallback(spark):
+    wide = spark.createDataFrame(
+        [("Some New Thing!", "$5.00", "001")],
+        "`Category` string, `1 adult` string, `county_fips` string",
+    )
+    out = normalize_wages_wide(wide, "34001", "2025-01-15")
+    assert out.first()["wage_type"] == "some_new_thing"
+
+
+# --- near-dup dedup ----------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+    (3, "completely different content about spark partitions and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), "text", "doc_id", num_hashes=16, bands=8, k=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0  # exact dup: all minhashes equal
+    assert (1, 2) in got and got[(1, 2)] > 0.3  # near-dup caught by some band
+    assert all(3 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_verification(spark):
+    pairs = spark.createDataFrame(
+        [(DOCS[0][1], DOCS[3][1]), (DOCS[0][1], DOCS[2][1])], "text_a string, text_b string"
+    )
+    out = ngram_jaccard(pairs, "text_a", "text_b", k=3).collect()
+    js = [r["jaccard"] for r in out]
+    assert js[0] == 1.0 and js[1] == 0.0
+
+
+def test_simhash_near_dups(spark):
+    out = simhash_near_dups(_docs(spark), "text", "doc_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((1, 4)) == 0  # identical text, identical simhash
+    assert all(3 not in p for p in got)
+
+
+def test_token_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",), ("one",)], "text string")
+    rows = df.select(token_shingles("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["one two"]
+    assert rows[1]["s"] == ["one"]
+
+
+def test_hyperplane_buckets_deterministic_and_groupy(spark):
+    import math
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = {r["vec_id"]: r["lsh_bucket"] for r in hyperplane_lsh_buckets(emb).collect()}
+    b2 = {r["vec_id"]: r["lsh_bucket"] for r in hyperplane_lsh_buckets(emb).collect()}
+    assert b1 == b2  # deterministic
+    assert all(0 <= v < 256 for v in b1.values())
+    # buckets must actually partition the corpus (not all-one-bucket)
+    assert len(set(b1.values())) > 10

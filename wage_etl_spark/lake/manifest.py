@@ -12,6 +12,8 @@ commit + epoch-tagged rollback as the data tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -71,10 +73,11 @@ def commit_epoch(
     error_message: str | None = None,
 ):
     """Append the epoch summary row + per-partition (bucket) lineage rows.
-    This is the LAST write of an epoch — its presence is the commit point."""
-    spark = manifest.spark
+    This is the LAST write of an epoch — its presence is the commit point.
+    Written driver-side (pyarrow): a manifest append must never cost a
+    cluster job."""
     rows = [
-        Row(
+        dict(
             epoch=epoch, partition_id=None, status=status, events_in=events_in,
             rows_merged=rows_merged, rows_quarantined=rows_quarantined, run_id=run_id,
             snapshot_id=snapshot_id, start_ts=start_ts, end_ts=end_ts,
@@ -83,27 +86,46 @@ def commit_epoch(
     ]
     for pid, cnt in sorted((partition_counts or {}).items()):
         rows.append(
-            Row(
+            dict(
                 epoch=epoch, partition_id=int(pid), status=status, events_in=None,
                 rows_merged=int(cnt), rows_quarantined=None, run_id=run_id,
                 snapshot_id=snapshot_id, start_ts=start_ts, end_ts=end_ts,
                 error_message=None,
             )
         )
-    df = spark.createDataFrame(rows, MANIFEST_SCHEMA)
-    return manifest.append(df, properties={"epoch": str(epoch)})
+    return manifest.append_local(rows, properties={"epoch": str(epoch)})
+
+
+def _scan_summary(manifest: LakeTable) -> tuple[int, int]:
+    """(max committed epoch, max run_id) via direct pyarrow reads of the
+    manifest's files — the manifest is tiny by construction (a few rows per
+    epoch), so this avoids two Spark jobs on every resume/epoch check."""
+    import pyarrow.parquet as pq
+
+    max_epoch, max_run = -1, 0
+    snap = manifest.snapshot()
+    for rel in snap.all_files():
+        t = pq.read_table(
+            os.path.join(manifest.root, rel), columns=["epoch", "partition_id", "run_id"]
+        )
+        for e, pid, rid in zip(
+            t.column("epoch").to_pylist(),
+            t.column("partition_id").to_pylist(),
+            t.column("run_id").to_pylist(),
+        ):
+            if pid is None and e is not None:
+                max_epoch = max(max_epoch, int(e))
+            if rid is not None:
+                max_run = max(max_run, int(rid))
+    return max_epoch, max_run
 
 
 def last_committed_epoch(manifest: LakeTable) -> int:
     """Newest epoch with a summary row — resume starts at this + 1
     (reference get_latest_run: ORDER BY start DESC LIMIT 1,
     run_tracker.py:79-96)."""
-    df = manifest.read().filter(F.col("partition_id").isNull())
-    row = df.select(F.max("epoch").alias("m")).first()
-    return int(row["m"]) if row and row["m"] is not None else -1
+    return _scan_summary(manifest)[0]
 
 
 def next_run_id(manifest: LakeTable) -> int:
-    df = manifest.read()
-    row = df.select(F.max("run_id").alias("m")).first()
-    return (int(row["m"]) + 1) if row and row["m"] is not None else 1
+    return _scan_summary(manifest)[1] + 1

@@ -369,6 +369,73 @@ class LakeTable:
                 os.remove(p)
         return deleted
 
+    def adopt_files(
+        self,
+        abs_paths: list[str],
+        bucket: str = "0",
+        properties: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Append already-written parquet files by MOVING them into the table
+        (zero rewrite — the Iceberg add_files analog). The files may carry a
+        superset of the table schema; reads project the table schema only.
+        Used for audit-style tables (DLQ) fed by a multi-output job."""
+        snap = self.snapshot()
+        commit_dir = uuid.uuid4().hex
+        rel_dir = os.path.join("data", commit_dir, f"_b={bucket}")
+        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+        rels = []
+        for i, p in enumerate(abs_paths):
+            rel = os.path.join(rel_dir, f"part-{i:05d}.parquet")
+            os.rename(p, os.path.join(self.root, rel))
+            rels.append(rel)
+        merged = {b: list(fs) for b, fs in snap.files.items()}
+        merged.setdefault(bucket, []).extend(rels)
+        return self._commit(merged, snap.schema, "append", properties or {}, parent=snap)
+
+    def append_local(self, rows: list[dict], properties: dict[str, str] | None = None) -> Snapshot:
+        """Append a SMALL batch of rows driver-side via pyarrow — no Spark
+        job. Used for the checkpoint manifest (a few rows per epoch); data
+        tables always go through the Spark write path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        commit_dir = uuid.uuid4().hex
+        rel_dir = os.path.join("data", commit_dir, "_b=0")
+        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+        rel_file = os.path.join(rel_dir, "part-00000.parquet")
+
+        def _pa_type(spark_type: str):
+            return {
+                "long": pa.int64(), "integer": pa.int32(), "string": pa.string(),
+                "timestamp": pa.timestamp("us"), "double": pa.float64(),
+                "boolean": pa.bool_(),
+            }[spark_type]
+
+        fields = [(f.name, _pa_type(f.dataType.typeName())) for f in snap.schema.fields]
+        arrays = {
+            name: pa.array([r.get(name) for r in rows], type=t) for name, t in fields
+        }
+        pq.write_table(
+            pa.table(arrays, schema=pa.schema(fields)),
+            os.path.join(self.root, rel_file),
+        )
+        merged = {b: list(fs) for b, fs in snap.files.items()}
+        merged.setdefault("0", []).append(rel_file)
+        return self._commit(merged, snap.schema, "append", properties or {}, parent=snap)
+
+    def file_row_counts(self, files: dict[str, list[str]]) -> dict[str, int]:
+        """Rows per bucket from parquet footers — driver-side metadata read,
+        no Spark job (used for lineage/metrics so counting never re-scans)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for b, fs in files.items():
+            out[b] = sum(
+                pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows for f in fs
+            )
+        return out
+
     def stats(self) -> dict[str, Any]:
         snap = self.snapshot()
         return {

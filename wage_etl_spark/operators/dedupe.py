@@ -1,0 +1,151 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash near-dup, and n-gram Jaccard — all as declarative DataFrame
+plans. Scale notes per operator inline; the LSH path is the 100 TB design:
+candidate generation is an equi-join on (band_id, band_hash) buckets — never
+an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wage_etl_spark.functions.hashing import (
+    hamming64,
+    md5_int,
+    minhash_signature,
+    simhash64,
+)
+from wage_etl_spark.functions.text import ws_tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by md5(text): keeper = min(id), n_dups = count. One hash
+    aggregate with map-side partials; at 100 TB the md5 shuffle key is 32
+    bytes/row regardless of document size (project early, shuffle small)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def token_shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-token shingles as strings (distinct)."""
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, signature array<long>) per document."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature(token_shingles(text_col, k), num_hashes).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH (Leskovec et al., MMDS ch.3):
+    split the signature into `bands` bands of r = num_hashes/bands rows; a
+    pair is a candidate iff some band hashes equal. Jaccard estimate =
+    fraction of equal signature positions.
+
+    Plan shape: explode to (band_id, band_hash, id) -> self-equi-join on the
+    band bucket -> estimate on the joined signatures. The join is a hash
+    join on small keys; hot buckets (boilerplate docs) are handled by AQE
+    skew-join splitting. No cross join anywhere."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(F.concat_ws(",", F.slice("signature", b * r + 1, r))).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "signature", "band.band_id", "band.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("l.signature", "r.signature", lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("jaccard_est"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("jaccard_est").alias("jaccard_est"))
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame, text_a: str, text_b: str, k: int = 3
+) -> DataFrame:
+    """Exact k-token-shingle Jaccard for already-candidate pairs (verification
+    stage after LSH; never run on all pairs)."""
+    sa = token_shingles(text_a, k)
+    sb = token_shingles(text_b, k)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return df_pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by the top `prefix_bits` bits (Manku
+    et al.'s table trick reduced to one table), equi-join buckets, filter by
+    Hamming distance. At scale use multiple bit-rotations (more tables);
+    one prefix table keeps the demo plan compact."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(ws_tokens(text_col)).alias("simhash"))
+    bucketed = sh.withColumn("bucket", F.shiftrightunsigned("simhash", 60 - prefix_bits))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

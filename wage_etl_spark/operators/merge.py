@@ -28,6 +28,8 @@ argmax would collapse duplicates anyway.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from wage_etl_spark.lake.table import LakeTable, Snapshot, bucket_expr
@@ -40,29 +42,57 @@ def merge_apply(
     ordering_cols: list[str],
     op_col: str = "op",
     properties: dict[str, str] | None = None,
-) -> tuple[Snapshot, int]:
-    """Apply deduped winners to the table; returns (snapshot, rows_written).
+    stage_source: bool = True,
+) -> tuple[Snapshot, int, dict[str, int]]:
+    """Apply deduped winners to the table; returns
+    (snapshot, rows_written, rows_per_bucket).
 
     ``winners`` must contain the table's key columns, the ordering columns,
     an op column in {I,U,D}, and any payload columns (new payload columns
     trigger schema evolution on write).
+
+    ``stage_source=True`` materializes the (already deduped, hence small)
+    winners to a staging parquet first, so the expensive upstream pipeline
+    (scan + validate + dedup) runs exactly once — the touched-bucket probe
+    and the merge join then read the staged winners, not the raw events.
     """
+    import shutil
+    import uuid as _uuid
+
     snap = table.snapshot()
     key_cols = snap.key_cols
 
+    staging_dir = None
+    if stage_source:
+        staging_dir = os.path.join(table.root, "_staging", _uuid.uuid4().hex)
+        winners.write.mode("overwrite").parquet(staging_dir)
+        winners = table.spark.read.parquet(staging_dir)
+
+    try:
+        return _merge_apply_inner(
+            table, winners, ordering_cols, op_col, properties, snap, key_cols
+        )
+    finally:
+        if staging_dir:
+            shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, key_cols):
     # 1. bucket the source and find touched buckets (tiny collect: <= N ints)
     src = winners.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
     touched = sorted(r["_b"] for r in src.select("_b").distinct().collect())
     if not touched:
-        return table._commit(snap.files, snap.schema, "merge-noop", properties or {}, parent=snap), 0
+        return (
+            table._commit(snap.files, snap.schema, "merge-noop", properties or {}, parent=snap),
+            0,
+            {},
+        )
 
     # 2. schema evolution: union of table schema and source payload schema
     src_payload = winners.drop(op_col)
     schema, _, _ = table._merged_schema(src_payload)
 
     # 3. pruned target read: only files of touched buckets
-    import os
-
     touched_set = {str(b) for b in touched}
     tfiles = [
         os.path.join(table.root, f)
@@ -110,7 +140,6 @@ def merge_apply(
     for b, fs in new_files.items():
         spliced[b] = fs
     new_snap = table._commit(spliced, schema, "merge", properties or {}, parent=snap)
-    # parquet footer metadata count — no data scan
-    written = [os.path.join(table.root, f) for fs in new_files.values() for f in fs]
-    rows = table.spark.read.parquet(*written).count() if written else 0
-    return new_snap, rows
+    # rows per rewritten bucket from parquet footers — no Spark job
+    bucket_counts = table.file_row_counts(new_files)
+    return new_snap, sum(bucket_counts.values()), bucket_counts

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; an IVF-style
+centroid-partitioned variant as the scale path (probe only the nearest
+centroid's partition instead of the full corpus); plus an LSH-bucketed
+variant via random-hyperplane signs (SimHash over floats).
+
+All vector math runs JVM-side via zip_with/aggregate higher-order functions —
+no Python in the loop. At 100 TB the brute-force path is a broadcast of the
+(small) query set against the (huge) corpus: corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def as_double(vec: F.Column | str) -> F.Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query. queries is broadcast (small
+    side); ranking window is per-query (bounded state). Excludes self-match.
+
+    Ties broken by neighbor id so results are deterministic across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Element-wise mean vector per label (IVF coarse quantizer stand-in —
+    in production the centroids come from k-means; here the labeled corpus
+    provides them directly). posexplode -> avg per (label, pos) -> rebuild
+    ordered array. The shuffle is (labels x dims) rows — tiny."""
+    exploded = corpus.select(
+        F.col(label_col).alias("label"), F.posexplode(as_double(vec_col))
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+    )
+
+
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF partition assignment: nearest centroid by cosine (broadcast the
+    centroid table; corpus scanned once, never shuffled)."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    x = c.crossJoin(broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("label").asc()
+    )
+    return (
+        x.withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("label").alias("assigned_label"), F.round("sim", 4).alias("sim"))
+    )
+
+
+def hyperplane_lsh_buckets(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit i = sign(dot(v, r_i))
+    where r_i components are deterministic +/-1 from md5 of (seed, plane,
+    dim). Cosine-similar vectors collide with prob 1 - theta/pi per bit.
+    ANN then probes only the query's bucket (and neighbors at scale)."""
+    v = as_double(vec_col)
+    dims = F.size(v)
+    def _plane_bit(p: int) -> F.Column:
+        # r_p[d] = +1/-1 from md5(seed|p|d): deterministic pseudo-hyperplane.
+        # Single-parameter lambdas only (2-arg transform lambdas mean
+        # (element, index) in PySpark and would shadow the closure).
+        plane = F.transform(
+            F.sequence(F.lit(0), dims - 1),
+            lambda d: F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.lit(p), d)), 1, 2),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, r: x * r), F.lit(0.0), lambda s, x: s + x
+        )
+        return F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    bits = [_plane_bit(p) for p in range(n_planes)]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return corpus.select(F.col(id_col), bucket.alias("lsh_bucket"))

@@ -73,6 +73,15 @@ class ReplayConfig:
     num_buckets: int = 32
     salt_buckets: int = 0  # >0 enables two-phase salted LWW for hot keys
     max_epochs: int | None = None
+    # winner-version sets up to this many keys are broadcast (slim-shuffle
+    # dedup, no full-width shuffle); bigger epochs fall back to argmax
+    broadcast_key_limit: int = 1_000_000
+    # "auto": count winner versions, broadcast if under the limit.
+    # "broadcast": skip the decision count entirely — the version aggregate
+    #   becomes a broadcast subquery inside the routing job (use when the
+    #   per-epoch key cardinality is known to be small).
+    # "shuffle": always use the argmax shuffle (the 10^10-key default).
+    dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
 
@@ -115,54 +124,163 @@ def apply_epoch(
     epoch: int,
     run_id: int,
 ) -> dict:
-    """Validate -> DLQ -> LWW dedup -> MERGE -> manifest, one epoch."""
-    start_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-    ev = events.persist()
-    try:
-        events_in = ev.count()
-        valid, quarantined = validate_events(ev, run_id=run_id)
+    """Validate -> route (DLQ | LWW winners) -> MERGE -> manifest, one epoch.
 
-        q = quarantined.withColumn("epoch", F.lit(epoch).cast("long"))
-        dlq.append(q, properties={"epoch": str(epoch)})
-        n_quarantined = dlq.read().filter(
-            (F.col("epoch") == epoch) & (F.col("run_id") == run_id)
-        ).count()
+    Physical strategy (scale rationale):
+
+    1. A slim pre-pass aggregates ONLY ``(repo, path) -> max(commit,
+       event_seq)`` over valid rows — the shuffle carries ~100 B/row instead
+       of the full event (content is ~KB/row), so the only all-data shuffle
+       of the naive plan disappears.
+    2. If the winner-version set fits a broadcast
+       (``cfg.broadcast_key_limit``), the routing pass is ONE full scan with
+       a broadcast hash join and ZERO full-width shuffle: every row is either
+       quarantined (-> DLQ route), the winner of its key (-> stage route), or
+       dropped. Epochs touching more keys than the limit fall back to the
+       argmax shuffle (``dedup_lww``), which is the 10^10-scale default.
+    3. One parquet write, partitioned by route. The DLQ *adopts* its files
+       (zero rewrite); the MERGE consumes the staged winners (tiny).
+       Duplicate identical winners (idempotency fixture) are collapsed by the
+       merge's own argmax, so no extra dedup pass is needed.
+
+    Counters come from an ``Observation`` on the scan and from parquet
+    footers — counting never re-scans, and nothing is ever read back from
+    the DLQ (which grows with every epoch)."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+    from pyspark.sql.functions import broadcast
+
+    from wage_etl_spark.operators.validate import REASON_MAX_LEN, tag_events
+
+    spark_ = events.sparkSession
+    start_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+    tagged = tag_events(events)
+    is_bad = F.size("_violations") > 0
+    obs = Observation()
+    tagged = tagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("events_in"),
+        F.sum(is_bad.cast("long")).alias("n_q"),
+    )
+
+    # --- slim winner-version pre-pass (no content in the shuffle) ---------
+    versions = (
+        tagged.filter(~is_bad)
+        .select(*KEY_COLS, F.struct(*[F.col(c) for c in ORDERING_COLS]).alias("_v"))
+        .groupBy(*KEY_COLS)
+        .agg(F.max("_v").alias("_v"))
+        .select(
+            *[F.col(k).alias(f"_k_{k}") for k in KEY_COLS],
+            *[F.col(f"_v.{c}").alias(f"_w_{c}") for c in ORDERING_COLS],
+        )
+    )
+    if cfg.dedup_strategy == "broadcast":
+        use_broadcast = True
+    elif cfg.dedup_strategy == "shuffle":
+        use_broadcast = False
+    else:  # auto: pay one slim counting pass to pick the physical strategy
+        versions = versions.persist()
+        use_broadcast = versions.count() <= cfg.broadcast_key_limit
+
+    raw_json = F.to_json(
+        F.struct(*[F.col(c) for c in events.columns]), {"ignoreNullFields": "false"}
+    )
+    if use_broadcast:
+        # winner iff its (commit, event_seq) equals the key's max version
+        join_cond = None
+        for k in KEY_COLS:
+            c = F.col(k) == F.col(f"_k_{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+        for oc in ORDERING_COLS:
+            join_cond = join_cond & (F.col(oc) == F.col(f"_w_{oc}"))
+        joined = tagged.join(broadcast(versions), on=join_cond, how="left")
+        is_winner = ~is_bad & F.col(f"_k_{KEY_COLS[0]}").isNotNull()
+        routed_src = joined.withColumn(
+            "_route",
+            F.when(is_bad, F.lit("dlq")).when(is_winner, F.lit("stage")),
+        ).filter(F.col("_route").isNotNull())
+    else:
+        # 10^10-scale fallback: full argmax shuffle; quarantined rows ride
+        # through under a unique synthetic key
+        keyed = tagged.withColumn(
+            "_qid", F.when(is_bad, F.monotonically_increasing_id())
+        )
+        winners = dedup_lww(
+            keyed, [*KEY_COLS, "_qid"], ORDERING_COLS, salt_buckets=cfg.salt_buckets
+        )
+        routed_src = winners.withColumn(
+            "_route",
+            F.when(F.size("_violations") > 0, F.lit("dlq")).otherwise(F.lit("stage")),
+        )
+
+    payload_cols = [c for c in events.columns if c != "epoch"]
+    routed = routed_src.select(
+        "_route",
+        *[F.col(c) for c in payload_cols],
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.lit(run_id).cast("long").alias("run_id"),
+        F.current_timestamp().alias("load_timestamp"),
+        F.when(is_bad, raw_json).alias("raw_data"),
+        F.substring(F.concat_ws(";", "_violations"), 1, REASON_MAX_LEN).alias("rejection_reason"),
+        F.current_timestamp().alias("reject_timestamp"),
+    )
+    epoch_tmp = os.path.join(cfg.warehouse, "_epoch_tmp", _uuid.uuid4().hex)
+    try:
+        routed.write.mode("overwrite").partitionBy("_route").parquet(epoch_tmp)
+        if cfg.dedup_strategy == "auto":
+            versions.unpersist()
+        events_in = int(obs.get["events_in"])
+        n_quarantined = int(obs.get["n_q"] or 0)
         n_valid = events_in - n_quarantined
 
-        winners = dedup_lww(valid, KEY_COLS, ORDERING_COLS, salt_buckets=cfg.salt_buckets)
-        payload = (
-            winners.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            .withColumn("epoch", F.lit(epoch).cast("long"))
-            .withColumn("run_id", F.lit(run_id).cast("long"))
-            .withColumn("load_timestamp", F.current_timestamp())
+        # DLQ: adopt the route=dlq files verbatim (they carry a superset of
+        # the DLQ schema; reads project the table schema)
+        dlq_dir = os.path.join(epoch_tmp, "_route=dlq")
+        dlq_files = (
+            [os.path.join(dlq_dir, f) for f in sorted(os.listdir(dlq_dir)) if f.endswith(".parquet")]
+            if os.path.isdir(dlq_dir)
+            else []
         )
-        # per-bucket lineage counts (<= num_buckets rows collected)
-        pc_rows = (
-            payload.withColumn("_b", bucket_expr(KEY_COLS, target.snapshot().num_buckets))
-            .groupBy("_b").count().collect()
+        dlq.adopt_files(dlq_files, properties={"epoch": str(epoch)}) if dlq_files else dlq._commit(
+            dlq.snapshot().files, dlq.snapshot().schema, "append-noop", {"epoch": str(epoch)}
         )
-        partition_counts = {int(r["_b"]): int(r["count"]) for r in pc_rows}
 
-        snap, rows_written = merge_apply(
-            target, payload, ordering_cols=ORDERING_COLS, op_col="op",
-            properties={"epoch": str(epoch)},
+        # MERGE: consume the staged winners (already deduped and tiny)
+        stage_dir = os.path.join(epoch_tmp, "_route=stage")
+        merge_cols = [*payload_cols, "content_sha256", "epoch", "run_id", "load_timestamp"]
+        if os.path.isdir(stage_dir):
+            staged = spark_.read.parquet(stage_dir).select(*merge_cols)
+        else:
+            staged = spark_.createDataFrame([], tagged.select(*payload_cols).schema).selectExpr(
+                "*", "cast(null as string) content_sha256",
+                "cast(null as long) epoch", "cast(null as long) run_id",
+                "cast(null as timestamp) load_timestamp",
+            )
+        snap, rows_written, bucket_counts = merge_apply(
+            target, staged, ordering_cols=ORDERING_COLS, op_col="op",
+            properties={"epoch": str(epoch)}, stage_source=False,
         )
-        status = epoch_status(events_in, n_valid, n_quarantined)
-        end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        commit_epoch(
-            manifest,
-            epoch=epoch, run_id=run_id, status=status, events_in=events_in,
-            rows_merged=rows_written, rows_quarantined=n_quarantined,
-            snapshot_id=snap.version, start_ts=start_ts, end_ts=end_ts,
-            partition_counts=partition_counts,
-        )
-        return {
-            "epoch": epoch, "status": status, "events_in": events_in,
-            "valid": n_valid, "quarantined": n_quarantined,
-            "rows_written": rows_written, "snapshot": snap.version,
-        }
     finally:
-        ev.unpersist()
+        shutil.rmtree(epoch_tmp, ignore_errors=True)
+
+    status = epoch_status(events_in, n_valid, n_quarantined)
+    end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    commit_epoch(
+        manifest,
+        epoch=epoch, run_id=run_id, status=status, events_in=events_in,
+        rows_merged=rows_written, rows_quarantined=n_quarantined,
+        snapshot_id=snap.version, start_ts=start_ts, end_ts=end_ts,
+        partition_counts={int(b): c for b, c in bucket_counts.items()},
+    )
+    return {
+        "epoch": epoch, "status": status, "events_in": events_in,
+        "valid": n_valid, "quarantined": n_quarantined,
+        "rows_written": rows_written, "snapshot": snap.version,
+    }
 
 
 def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
