@@ -83,5 +83,35 @@ def replay_oracle(events: list[dict]) -> tuple[dict, int, int]:
     return state, n_valid, n_quarantined
 
 
+def replay_oracle_global(events: list[dict]) -> tuple[dict, int, int]:
+    """Order-independent oracle (tombstone semantics): per key the single
+    globally-max-version valid event decides the final state, regardless of
+    epoch/micro-batch boundaries. Matches the engine with keep_tombstones."""
+    n_valid = 0
+    n_quarantined = 0
+    winners: dict = {}
+    for ev in events:
+        if validate(ev):
+            n_quarantined += 1
+            continue
+        n_valid += 1
+        key = (ev["repo"], ev["path"])
+        ver = (ev["commit"], ev["event_seq"])
+        if key not in winners or ver >= (winners[key]["commit"], winners[key]["event_seq"]):
+            winners[key] = ev
+    state = {
+        key: {
+            "commit": ev["commit"],
+            "event_seq": ev["event_seq"],
+            "lang": ev.get("lang"),
+            "lang_version": ev.get("lang_version"),
+            "sha256": hashlib.sha256(ev["content"].encode("utf-8")).hexdigest(),
+        }
+        for key, ev in winners.items()
+        if ev["op"] != "D"
+    }
+    return state, n_valid, n_quarantined
+
+
 def sha_map(state: dict) -> dict:
     return {k: v["sha256"] for k, v in state.items()}

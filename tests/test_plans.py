@@ -1,0 +1,57 @@
+"""Physical-plan scale guards: pushdown, pruning, broadcast, no cartesian,
+no row-Python, partial aggregation — asserted mechanically on the engine's
+own plans (the '.explain and iterate' discipline, encoded as tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from wage_etl_spark.plans.lint import assert_plan, plan_report
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
+    assert_plan(df, pushed_filters=True, max_read_cols=2)
+
+
+def test_q1_prunes_columns(spark):
+    """Q1 must not read all 11 lineitem columns for its 7-column aggregate."""
+    r = assert_plan(em.q1_pricing_summary(spark, SF), pushed_filters=True, max_read_cols=7)
+    assert r.partial_aggregate  # map-side combine before the shuffle
+
+
+def test_q3_broadcasts_dimension(spark):
+    assert_plan(em.q3_shipping_priority(spark, SF), broadcast=True)
+
+
+def test_q5_no_cartesian_and_broadcasts(spark):
+    assert_plan(em.q5_local_supplier(spark, SF), broadcast=True, no_cartesian=True)
+
+
+def test_lww_state_partial_aggregates(spark):
+    r = assert_plan(em.q_cdc_lww_state(spark, SF))
+    assert r.partial_aggregate
+    assert not r.window  # argmax strategy, not a window sort
+
+
+def test_validation_has_no_row_python(spark):
+    """The validation split may use Arrow UDFs but never BatchEvalPython."""
+    from wage_etl_spark.operators.validate import validate_events
+    from wage_etl_spark.sources.synth import synthesize_events
+
+    ev = synthesize_events(spark, n_events=100, n_keys=10, n_epochs=1)
+    valid, q = validate_events(ev, 1)
+    r = assert_plan(q, no_row_python=True)
+    assert r.has_arrow_udf  # the commit-shape pandas UDF is Arrow-vectorized
+
+
+def test_topk_query_broadcasts_queries_side(spark):
+    assert_plan(em.q_embedding_topk(spark, SF), broadcast=True, no_cartesian=True)
+
+
+def test_minhash_stays_jvm_side(spark):
+    assert_plan(em.q_minhash_signatures(spark, SF), no_row_python=True)

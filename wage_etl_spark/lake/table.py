@@ -369,6 +369,13 @@ class LakeTable:
                 os.remove(p)
         return deleted
 
+    def truncate(self, properties: dict[str, str] | None = None) -> Snapshot:
+        """Empty the table (reference TRUNCATE ... CASCADE, staging.py:176-185)
+        — a metadata-only commit; old files remain for time travel until
+        expire_snapshots."""
+        snap = self.snapshot()
+        return self._commit({}, snap.schema, "truncate", properties or {}, parent=snap)
+
     def adopt_files(
         self,
         abs_paths: list[str],

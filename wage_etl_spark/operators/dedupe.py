@@ -47,10 +47,33 @@ def token_shingles(text_col: str, k: int = 3) -> F.Column:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(id, signature array<long>) per document."""
-    return df.select(
+    """(id, signature array<long>) per document.
+
+    Physical shape: explode shingles -> flat md5 hash columns -> min
+    aggregates -> repack array. Nested higher-order-function expressions
+    (array_min over transform over transform) are interpreted, not
+    codegen'd, and were ~100x slower; explode+aggregate keeps every
+    expression inside whole-stage codegen and gets map-side partial mins.
+    (functions/hashing.minhash_signature remains the expression form for
+    use inside other array pipelines.)"""
+    shingled = df.select(
+        F.col(id_col), F.explode(token_shingles(text_col, k)).alias("_shingle")
+    )
+    hashed = shingled.select(
         F.col(id_col),
-        minhash_signature(token_shingles(text_col, k), num_hashes).alias("signature"),
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("_shingle"), F.lit(f"#{i}"))), 1, 8), 16, 10
+            ).cast("long").alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
     )
 
 

@@ -43,6 +43,7 @@ def merge_apply(
     op_col: str = "op",
     properties: dict[str, str] | None = None,
     stage_source: bool = True,
+    tombstones: bool = False,
 ) -> tuple[Snapshot, int, dict[str, int]]:
     """Apply deduped winners to the table; returns
     (snapshot, rows_written, rows_per_bucket).
@@ -70,14 +71,14 @@ def merge_apply(
 
     try:
         return _merge_apply_inner(
-            table, winners, ordering_cols, op_col, properties, snap, key_cols
+            table, winners, ordering_cols, op_col, properties, snap, key_cols, tombstones
         )
     finally:
         if staging_dir:
             shutil.rmtree(staging_dir, ignore_errors=True)
 
 
-def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, key_cols):
+def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, key_cols, tombstones=False):
     # 1. bucket the source and find touched buckets (tiny collect: <= N ints)
     src = winners.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
     touched = sorted(r["_b"] for r in src.select("_b").distinct().collect())
@@ -122,17 +123,38 @@ def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, 
         ]
         return df.select(*cols, F.lit(is_source).alias("_is_source"), op_expr.alias("_op"))
 
-    unioned = align(target, 0, F.lit("U")).unionByName(
+    # a persisted tombstone row must re-enter the argmax as a delete, or a
+    # bucket rewrite would silently undelete it
+    target_op = (
+        F.when(F.coalesce(F.col("is_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
+        if "is_deleted" in target.columns
+        else F.lit("U")
+    )
+    unioned = align(target, 0, target_op).unionByName(
         align(src.drop("_b"), 1, F.col(op_col) if op_col in winners.columns else F.lit("U"))
     )
 
-    # 5. LWW argmax with is_source tiebreak; deletes drop out
+    # 5. LWW argmax with is_source tiebreak. Without tombstones, deletes
+    # drop out (copy-on-write rewrites the whole bucket, so the key simply
+    # disappears — valid when epochs arrive in version order). With
+    # tombstones, the delete persists as an is_deleted row so a LATE lower-
+    # version event cannot resurrect the key (required for out-of-order
+    # micro-batches; readers filter is_deleted).
     merged = dedup_lww(
         unioned,
         key_cols=key_cols,
         ordering_cols=[*ordering_cols, "_is_source"],
     )
-    result = merged.filter(F.col("_op") != "D").drop("_is_source", "_op")
+    if tombstones:
+        result = merged.withColumn("is_deleted", F.col("_op") == "D").drop(
+            "_is_source", "_op"
+        )
+        if "is_deleted" not in [f.name for f in schema.fields]:
+            from pyspark.sql.types import BooleanType, StructField, StructType
+
+            schema = StructType(list(schema.fields) + [StructField("is_deleted", BooleanType())])
+    else:
+        result = merged.filter(F.col("_op") != "D").drop("_is_source", "_op")
 
     # 6. write only touched buckets; splice file map
     new_files = table._write_files(result, snap)

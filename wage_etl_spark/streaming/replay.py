@@ -76,6 +76,10 @@ class ReplayConfig:
     # winner-version sets up to this many keys are broadcast (slim-shuffle
     # dedup, no full-width shuffle); bigger epochs fall back to argmax
     broadcast_key_limit: int = 1_000_000
+    # keep delete tombstones in the target (required when epochs/micro-
+    # batches may arrive out of version order — a late lower-version event
+    # must not resurrect a deleted key); readers filter is_deleted
+    keep_tombstones: bool = False
     # "auto": count winner versions, broadcast if under the limit.
     # "broadcast": skip the decision count entirely — the version aggregate
     #   becomes a broadcast subquery inside the routing job (use when the
@@ -263,6 +267,7 @@ def apply_epoch(
         snap, rows_written, bucket_counts = merge_apply(
             target, staged, ordering_cols=ORDERING_COLS, op_col="op",
             properties={"epoch": str(epoch)}, stage_source=False,
+            tombstones=cfg.keep_tombstones,
         )
     finally:
         shutil.rmtree(epoch_tmp, ignore_errors=True)
@@ -307,8 +312,12 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
 def verify_state(spark: SparkSession, target: LakeTable, oracle_state: dict) -> dict:
     """Per-row sha256(content) equality vs the oracle replay (BASELINE.json
     invariant). ``oracle_state`` maps (repo, path) -> sha256 hex. Comparison
-    happens driver-side only after both sides are reduced to key->hash maps."""
-    rows = target.read().select("repo", "path", "content_sha256").collect()
+    happens driver-side only after both sides are reduced to key->hash maps.
+    Tombstone rows (is_deleted) are not part of the logical state."""
+    df = target.read()
+    if "is_deleted" in df.columns:
+        df = df.filter(~F.coalesce(F.col("is_deleted"), F.lit(False)))
+    rows = df.select("repo", "path", "content_sha256").collect()
     engine = {(r["repo"], r["path"]): r["content_sha256"] for r in rows}
     missing = {k: v for k, v in oracle_state.items() if k not in engine}
     extra = {k: v for k, v in engine.items() if k not in oracle_state}
