@@ -312,6 +312,94 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+WAGE_WIDE_FIXTURE = [
+    ("Living Wage", "$18.71", "$38.87"),
+    ("Poverty Wage", "$6.19", "$10.56"),
+    ("Minimum Wage", "$15.13", "$15.13"),
+    ("Typical Expenses", "$3,442", "invalid"),  # unknown category -> slug
+]
+WAGE_HEADERS = ["1 Adult", "2 Adults (1 Working) 1 Child"]
+
+
+def q_wage_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's own transform (normalize_wages, pandas_ops.py:135-171)
+    end-to-end: melt -> header normalize -> family broadcast join -> category
+    canonicalize w/ slug fallback -> currency clean -> constants."""
+    from wage_etl_spark.operators.reshape import normalize_wages_wide
+
+    wide = spark.createDataFrame(
+        WAGE_WIDE_FIXTURE, f"`Category` string, `{WAGE_HEADERS[0]}` string, `{WAGE_HEADERS[1]}` string"
+    )
+    out = normalize_wages_wide(wide, "34001", "2025-01-15")
+    return out.select(
+        "county_fips", "page_updated_at",
+        F.col("adults").cast("int").alias("adults"),
+        F.col("working_adults").cast("int").alias("working_adults"),
+        F.col("children").cast("int").alias("children"),
+        "wage_type", F.round("hourly_wage", 2).alias("hourly_wage"),
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bucketed rollup (date_trunc) — epoch/rate metrics at hour grain."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_top2_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Window rank per group: top-2 customers by order spend per nation."""
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders")
+    na = _t(spark, sf, "nation")
+    spend = (
+        od.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    joined = (
+        cu.join(spend, cu.c_custkey == spend.o_custkey)
+        .join(broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("n_name", F.col("c_custkey").cast("long").alias("c_custkey"),
+                "spend", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-LSH candidate pairs (rows-only check: the band-join plan is
+    not expressible as one portable SQL statement)."""
+    from wage_etl_spark.operators.dedupe import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    out = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=8, k=3)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    from wage_etl_spark.operators.dedupe import simhash_near_dups
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=12).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -340,6 +428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "embedding_topk": q_embedding_topk,
         "embedding_centroids": q_embedding_centroids,
+        "wage_normalize": q_wage_normalize,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "top2_customers_per_nation": q_top2_customers_per_nation,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
     }
 
 
@@ -381,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
     money_values = ", ".join(
         f"({i}, {repr(s) if s is not None else 'NULL'})" for i, s in MONEY_FIXTURE
     ).replace("'NULL'", "NULL")
+    wage_values = ", ".join(f"({repr(c)}, {repr(a)}, {repr(b)})" for c, a, b in WAGE_WIDE_FIXTURE)
 
     return {
         "cdc_lww_state": """
@@ -551,6 +645,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos_exact, 4) AS cosine
             FROM ranked WHERE rank <= 3
+        """,
+        "wage_normalize": f"""
+            WITH wide(category, h1, h2) AS (VALUES {wage_values}),
+            melted AS (
+              SELECT category, 1 AS adults, 1 AS working_adults, 0 AS children, h1 AS raw FROM wide
+              UNION ALL
+              SELECT category, 2, 1, 1, h2 FROM wide
+            )
+            SELECT '34001' AS county_fips, DATE '2025-01-15' AS page_updated_at,
+                   adults::INT AS adults, working_adults::INT AS working_adults,
+                   children::INT AS children,
+                   CASE lower(category)
+                     WHEN 'living wage' THEN 'living'
+                     WHEN 'poverty wage' THEN 'poverty'
+                     WHEN 'minimum wage' THEN 'minimum'
+                     ELSE replace(trim(regexp_replace(lower(category), '[^\\w]+', ' ', 'g')), ' ', '_')
+                   END AS wage_type,
+                   round(coalesce(try_cast(trim(regexp_replace(raw, '[\\$,]', '', 'g')) AS DOUBLE), 0.0), 2) AS hourly_wage
+            FROM melted
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top2_customers_per_nation": """
+            WITH spend AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+              FROM orders GROUP BY o_custkey
+            ), ranked AS (
+              SELECT n.n_name, c.c_custkey, s.spend,
+                     row_number() OVER (PARTITION BY n.n_name
+                                        ORDER BY s.spend DESC, c.c_custkey ASC) AS rnk
+              FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT n_name, c_custkey::BIGINT AS c_custkey, spend, rnk::BIGINT AS rnk
+            FROM ranked WHERE rnk <= 2
         """,
         "embedding_centroids": f"""
             WITH comp AS (

@@ -71,6 +71,23 @@ def test_replay_twice_is_noop(spark, warehouse):
     assert last_committed_epoch(manifest) == 1
 
 
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 123])
+def test_seed_matrix_oracle_equality(spark, warehouse, seed):
+    """Different generator seeds — guards against fixture-specific luck."""
+    ev = synthesize_events(
+        spark, n_events=1500, n_keys=100, n_epochs=2, invalid_frac=0.04, seed=seed
+    )
+    cfg = ReplayConfig(warehouse=f"{warehouse}/s{seed}", num_buckets=8)
+    replay(spark, cfg, EpochSource(ev))
+    target, dlq, manifest = open_tables(spark, cfg)
+    oracle_state, _, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
+    assert verify_state(spark, target, sha_map(oracle_state))["equal"]
+    assert dlq.read().count() == n_quar
+
+
 def test_shuffle_fallback_dedup_matches_oracle(spark, warehouse):
     """broadcast_key_limit=0 forces the 10^10-scale argmax-shuffle path;
     result must be identical to the broadcast path and the oracle."""

@@ -153,6 +153,30 @@ def ngram_jaccard(
     return df_pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """(id, simhash) via explode + flat per-bit vote aggregates — the
+    codegen-friendly shape (the expression form in functions/hashing is
+    interpreted and ~50x slower at corpus scale; see minhash_signatures)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("_t")
+    )
+    hashed = toks.select(
+        "id", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_h")
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sim.alias("simhash"))
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
 ) -> DataFrame:
@@ -160,7 +184,7 @@ def simhash_near_dups(
     et al.'s table trick reduced to one table), equi-join buckets, filter by
     Hamming distance. At scale use multiple bit-rotations (more tables);
     one prefix table keeps the demo plan compact."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(ws_tokens(text_col)).alias("simhash"))
+    sh = simhash_signatures(df, text_col, id_col)
     bucketed = sh.withColumn("bucket", F.shiftrightunsigned("simhash", 60 - prefix_bits))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
