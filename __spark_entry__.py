@@ -80,9 +80,15 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization via lag window: gap > 30 min starts a new session."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # whole-second epochs on both sides (oracle uses floor(epoch(ts))) so
-    # sub-second fractions cannot flip the 30-min boundary differently
-    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    # whole-second epochs from timestamp FIELDS (timezone-free: ts is NTZ and
+    # the oracle's floor(epoch(ts)) treats it as UTC wall time — field
+    # arithmetic matches regardless of the session timezone)
+    sec = (
+        F.unix_date(F.col("ts").cast("date")).cast("long") * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
     gap = sec - F.lag(sec).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
@@ -343,9 +349,12 @@ def q_wage_normalize(spark: SparkSession, sf: str) -> DataFrame:
 def q_events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Time-bucketed rollup (date_trunc) — epoch/rate metrics at hour grain."""
     ev = _t(spark, sf, "events")
+    # hour bucket as a wall-clock string: NTZ -> string is timezone-free,
+    # while date_trunc would round-trip through the session timezone
+    hour = F.concat(F.substring(F.col("ts").cast("string"), 1, 13), F.lit(":00:00"))
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            hour.alias("hour"),
             "event_type",
         )
         .agg(
@@ -666,7 +675,8 @@ def oracle_sql() -> dict[str, str]:
             FROM melted
         """,
         "events_hourly_rollup": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type,
                    count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
