@@ -42,19 +42,16 @@ EVENT_TYPES = ["signup", "click", "view", "purchase"]  # 'error' is the bad enum
 def q_cdc_lww_state(spark: SparkSession, sf: str) -> DataFrame:
     """LWW final state per key (A5/S7 analog on the generic events table):
     the engine's central dedup operator, keyed by user_id, ordered by
-    (ts, event_id)."""
+    (ts, event_id). count_col folds n_events into the same argmax aggregate,
+    so the plan is ONE scan of events (no separate groupBy().count() pass)."""
     ev = _t(spark, sf, "events")
-    last = dedup_lww(ev, ["user_id"], ["ts", "event_id"])
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    return (
-        last.join(counts, "user_id")
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_event_type"),
-            F.round("value", 2).alias("last_value"),
-            F.col("ts").alias("last_ts"),
-            "n_events",
-        )
+    last = dedup_lww(ev, ["user_id"], ["ts", "event_id"], count_col="n_events")
+    return last.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        "n_events",
     )
 
 
@@ -386,8 +383,9 @@ def q_top2_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded-LSH candidate pairs (rows-only check: the band-join plan is
-    not expressible as one portable SQL statement)."""
+    """Banded-LSH candidate pairs. Oracle: the same shape in DuckDB —
+    signature per doc, unnest to (band_id, band_hash), self-join, max
+    jaccard estimate per pair."""
     from wage_etl_spark.operators.dedupe import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
@@ -399,7 +397,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs. Oracle: per-bit vote sums as plain aggregates
+    in DuckDB, then the same prefix-bucket self-join."""
     from wage_etl_spark.operators.dedupe import simhash_near_dups
 
     d = _t(spark, sf, "documents")
@@ -693,6 +692,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name, c_custkey::BIGINT AS c_custkey, spend, rnk::BIGINT AS rnk
             FROM ranked WHERE rnk <= 2
+        """,
+        # Mirrors operators/dedupe.py:minhash_lsh_pairs (num_hashes=16,
+        # bands=8 -> r=2, k=3): signature -> (band_id, band_hash) rows ->
+        # self-join -> max fraction-of-equal-positions per pair.
+        "minhash_lsh_pairs": f"""
+            WITH sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       j -> list_min(list_transform({shingles},
+                              s -> ('0x' || substr(md5(s || '#' || j), 1, 8))::BIGINT))) AS signature
+              FROM documents
+            ), banded AS (
+              SELECT doc_id, signature, b AS band_id,
+                     md5(array_to_string(signature[b*2+1:b*2+2], ',')) AS band_hash
+              FROM sig, generate_series(0, 7) AS t(b)
+            ), pairs AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                     len(list_filter(list_transform(generate_series(1, 16),
+                           i -> l.signature[i] = r.signature[i]), x -> x)) / 16.0 AS jaccard_est
+              FROM banded l JOIN banded r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+                   round(max(jaccard_est), 4) AS jaccard_est
+            FROM pairs GROUP BY 1, 2
+        """,
+        # Mirrors operators/dedupe.py:simhash_near_dups (60-bit simhash,
+        # prefix_bits=16, max_hamming=12): the per-bit vote sum is a plain
+        # aggregate; bucket = top 16 bits; hamming via bit_count(xor).
+        "simhash_near_dups": f"""
+            WITH h AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+            ), votes AS (
+              SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h, generate_series(0, 59) AS g(b)
+              GROUP BY doc_id, b
+            ), sim AS (
+              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sim a JOIN sim b
+              ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
         """,
         "embedding_centroids": f"""
             WITH comp AS (

@@ -36,6 +36,9 @@ def test_lww_state_partial_aggregates(spark):
     r = assert_plan(em.q_cdc_lww_state(spark, SF))
     assert r.partial_aggregate
     assert not r.window  # argmax strategy, not a window sort
+    # single pass: n_events is folded into the argmax aggregate, so the plan
+    # scans events exactly once (no separate groupBy().count() job)
+    assert r.plan.count("FileScan") == 1, r.plan
 
 
 def test_validation_has_no_row_python(spark):

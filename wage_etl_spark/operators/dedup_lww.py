@@ -34,9 +34,16 @@ def dedup_lww(
     key_cols: list[str],
     ordering_cols: list[str],
     salt_buckets: int = 0,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Keep exactly the max-(ordering) row per key. Output columns == input
-    columns (order preserved).
+    columns (order preserved), plus ``count_col`` if requested.
+
+    ``count_col`` adds the per-key event count to the same aggregate — one
+    scan answers "winner + how many events", where a separate
+    ``groupBy().count()`` would re-scan the input (a full extra pass at
+    10^10 events). Counts are sum-combined in the salted second phase, so
+    the option composes with skew salting.
 
     ``salt_buckets > 0`` adds a two-phase aggregation: phase 1 groups by
     (key, salt) where salt = hash of *all* ordering cols mod S — correct
@@ -48,21 +55,32 @@ def dedup_lww(
     payload = [c for c in df.columns if c not in key_cols]
     tail = [c for c in payload if c not in ordering_cols]
     ordered = F.struct(*[F.col(c) for c in ordering_cols], *[F.col(c) for c in tail])
+    out_cols = list(df.columns) + ([count_col] if count_col else [])
 
     if salt_buckets > 0:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in ordering_cols]), F.lit(salt_buckets))
+        partial_aggs = [F.max(ordered).alias("_w")]
+        final_aggs = [F.max("_w").alias("_w")]
+        if count_col:
+            partial_aggs.append(F.count(F.lit(1)).alias("_n"))
+            final_aggs.append(F.sum("_n").cast("long").alias(count_col))
         partial = (
             df.groupBy(*key_cols, salt.alias("_salt"))
-            .agg(F.max(ordered).alias("_w"))
+            .agg(*partial_aggs)
             .drop("_salt")
         )
-        winners = partial.groupBy(*key_cols).agg(F.max("_w").alias("_w"))
+        winners = partial.groupBy(*key_cols).agg(*final_aggs)
     else:
-        winners = df.groupBy(*key_cols).agg(F.max(ordered).alias("_w"))
+        aggs = [F.max(ordered).alias("_w")]
+        if count_col:
+            aggs.append(F.count(F.lit(1)).cast("long").alias(count_col))
+        winners = df.groupBy(*key_cols).agg(*aggs)
 
     return winners.select(
-        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
-    ).select(*df.columns)
+        *key_cols,
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
+        *([count_col] if count_col else []),
+    ).select(*out_cols)
 
 
 def dedup_lww_window(
