@@ -52,8 +52,13 @@ def _sf_value(sf_dir: str) -> float:
     return float(base[2:]) if base.startswith("sf") else -1.0
 
 
-def run_cdc_replay(spark, events_path: str, warehouse: str, num_buckets: int) -> dict:
-    """One full replay over the events parquet; returns counts + wall time."""
+def run_cdc_replay(
+    spark, events_path: str, warehouse: str, num_buckets: int, verify: bool = False
+) -> dict:
+    """One full replay over the events parquet; returns counts + wall time.
+    With verify=True, afterwards checks per-key sha256 equality against the
+    independent window-based reference replay — fully distributed (full-outer
+    join), no driver collect — and reports the verification wall time."""
     from wage_etl_spark.sources.events import EpochSource
     from wage_etl_spark.streaming.replay import ReplayConfig, replay
 
@@ -65,13 +70,28 @@ def run_cdc_replay(spark, events_path: str, warehouse: str, num_buckets: int) ->
     t0 = time.monotonic()
     results = replay(spark, cfg, src)
     elapsed = time.monotonic() - t0
-    return {
+    out = {
         "events": n_events,
         "epochs": len(results),
         "elapsed_s": round(elapsed, 3),
         "events_per_sec": round(n_events / elapsed, 1),
         "quarantined": sum(r["quarantined"] for r in results),
     }
+    if verify:
+        from wage_etl_spark.streaming.replay import open_tables, reference_state, verify_state
+
+        target, _dlq, _manifest = open_tables(spark, cfg)
+        t0 = time.monotonic()
+        report = verify_state(spark, target, reference_state(src._df))
+        out["verify_equal"] = report["equal"]
+        out["verify_rows"] = report["engine_rows"]
+        out["verify_s"] = round(time.monotonic() - t0, 3)
+        if not report["equal"]:
+            raise AssertionError(
+                f"sha256 verification FAILED: missing={report['n_missing']} "
+                f"extra={report['n_extra']} mismatched={report['n_mismatched']}"
+            )
+    return out
 
 
 def cdc_child(cpus: int, events_path: str, out_json: str) -> None:
@@ -221,7 +241,7 @@ def main() -> None:
     try:
         synth_events_parquet(spark, events_path, CDC_EVENTS)
         wh = os.path.join(tmp, "wh_main")
-        cdc = run_cdc_replay(spark, events_path, wh, num_buckets=max(2 * CPUS, 32))
+        cdc = run_cdc_replay(spark, events_path, wh, num_buckets=max(2 * CPUS, 32), verify=True)
         # release the parent JVM (32 executor threads + python workers) so the
         # scaling children measure an otherwise-idle machine
         spark.stop()

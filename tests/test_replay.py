@@ -111,3 +111,68 @@ def test_dlq_rows_are_json_of_original_event(spark, warehouse):
     raw = json.loads(row["raw_data"])
     assert "repo" in raw and "op" in raw
     assert 0 < len(row["rejection_reason"]) <= 1000
+
+
+def test_verify_state_distributed_million_keys(spark, warehouse):
+    """Scale guard for the sha256 verification path (north rule): verify on
+    >10^6 keys with a DataFrame oracle — a full-outer-join comparison, no
+    full-table collect to the driver — and catch injected missing / extra /
+    mismatched keys with bounded diff output."""
+    from pyspark.sql import functions as F
+
+    from wage_etl_spark.lake.table import LakeTable
+    from wage_etl_spark.streaming.replay import TARGET_SCHEMA
+
+    n = 1_100_000
+    base = spark.range(n).select(
+        F.concat(F.lit("repo-"), (F.col("id") % 997).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.sha2(F.concat(F.lit("c"), F.col("id").cast("string")), 256).alias("content_sha256"),
+    )
+    target = LakeTable.create(
+        spark, warehouse, TARGET_SCHEMA, key_cols=["repo", "path"], num_buckets=8
+    )
+    target.append(base)
+
+    ok = verify_state(spark, target, base)
+    assert ok["equal"], {k: ok[k] for k in ("n_missing", "n_extra", "n_mismatched")}
+    assert ok["engine_rows"] == n and ok["oracle_rows"] == n
+
+    # oracle with 1 extra key, 1 missing key, 1 changed sha
+    tampered = (
+        base.filter(F.col("path") != "src/f7.py")  # engine key becomes "extra"
+        .withColumn(
+            "content_sha256",
+            F.when(F.col("path") == "src/f9.py", F.lit("0" * 64)).otherwise(
+                F.col("content_sha256")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("repo-x", "only/in/oracle.py", "1" * 64)],
+                "repo string, path string, content_sha256 string",
+            )
+        )
+    )
+    bad = verify_state(spark, target, tampered)
+    assert not bad["equal"]
+    assert bad["n_missing"] == 1 and bad["n_extra"] == 1 and bad["n_mismatched"] == 1
+    assert ("repo-x", "only/in/oracle.py") in bad["missing"]
+    assert any(k[1] == "src/f7.py" for k in bad["extra"])
+    assert any(k[1] == "src/f9.py" for k in bad["mismatched"])
+
+
+def test_reference_state_matches_python_oracle(spark):
+    """The Spark-side reference replay (window path) agrees with the pure-
+    Python oracle on a multi-epoch stream with tombstone-safe ordering."""
+    from wage_etl_spark.streaming.replay import reference_state
+
+    ev = synthesize_events(spark, n_events=4000, n_keys=200, n_epochs=3, invalid_frac=0.05)
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in reference_state(ev).collect()
+    }
+    from tests.oracle import replay_oracle_global, sha_map
+
+    oracle_state, *_ = replay_oracle_global([r.asDict() for r in ev.collect()])
+    assert got == sha_map(oracle_state)

@@ -21,6 +21,7 @@ from wage_etl_spark.streaming.replay import (
     ReplayConfig,
     apply_epoch,
     open_tables,
+    reference_state,
     replay,
     verify_state,
 )
@@ -47,5 +48,6 @@ __all__ = [
     "apply_epoch",
     "open_tables",
     "replay",
+    "reference_state",
     "verify_state",
 ]

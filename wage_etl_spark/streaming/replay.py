@@ -309,27 +309,109 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
     return results
 
 
-def verify_state(spark: SparkSession, target: LakeTable, oracle_state: dict) -> dict:
-    """Per-row sha256(content) equality vs the oracle replay (BASELINE.json
-    invariant). ``oracle_state`` maps (repo, path) -> sha256 hex. Comparison
-    happens driver-side only after both sides are reduced to key->hash maps.
-    Tombstone rows (is_deleted) are not part of the logical state."""
+def reference_state(events: DataFrame) -> DataFrame:
+    """Independent Spark-side reference replay for large-scale verification:
+    global LWW via the *window* implementation (a different code path from
+    the argmax + copy-on-write merge the engine uses), valid events only,
+    final op D means the key is absent. Returns (repo, path, content_sha256).
+
+    Semantics note: global LWW equals epoch-by-epoch replay whenever versions
+    are non-decreasing across epochs or tombstones are kept — both hold for
+    the bench stream (one epoch) and the keep_tombstones mode."""
+    from wage_etl_spark.operators.dedup_lww import dedup_lww_window
+    from wage_etl_spark.operators.validate import tag_events
+
+    valid = tag_events(events).filter(F.size("_violations") == 0).drop("_violations")
+    winners = dedup_lww_window(valid, KEY_COLS, ORDERING_COLS)
+    return winners.filter(F.col("op") != "D").select(
+        *KEY_COLS, F.sha2(F.col("content"), 256).alias("content_sha256")
+    )
+
+
+def verify_state(
+    spark: SparkSession,
+    target: LakeTable,
+    oracle,
+    max_diff: int = 1000,
+) -> dict:
+    """Per-row sha256(content) equality vs an oracle replay (BASELINE.json
+    invariant). ``oracle`` is either a DataFrame (repo, path, content_sha256)
+    — the scale path, e.g. ``reference_state(events)`` — or a small dict
+    mapping (repo, path) -> sha256 hex (test convenience; materialized into a
+    DataFrame).
+
+    The comparison is DISTRIBUTED: a null-safe full-outer join on the key,
+    one aggregate for the counts, and a bounded ``limit(max_diff)`` collect
+    of the differing keys only. The driver never holds the table — at the
+    10^10-key design scale the old collect-both-sides approach is a driver
+    OOM; this plan shuffles (key, 32-byte sha) pairs only."""
     df = target.read()
     if "is_deleted" in df.columns:
         df = df.filter(~F.coalesce(F.col("is_deleted"), F.lit(False)))
-    rows = df.select("repo", "path", "content_sha256").collect()
-    engine = {(r["repo"], r["path"]): r["content_sha256"] for r in rows}
-    missing = {k: v for k, v in oracle_state.items() if k not in engine}
-    extra = {k: v for k, v in engine.items() if k not in oracle_state}
-    mismatched = {
-        k: (oracle_state[k], engine[k])
-        for k in oracle_state.keys() & engine.keys()
-        if oracle_state[k] != engine[k]
-    }
+    eng = df.select(
+        *KEY_COLS, F.col("content_sha256").alias("_e_sha"), F.lit(True).alias("_in_e")
+    )
+    if isinstance(oracle, DataFrame):
+        odf = oracle.select(
+            *KEY_COLS, F.col("content_sha256").alias("_o_sha"), F.lit(True).alias("_in_o")
+        )
+    else:
+        odf = spark.createDataFrame(
+            [(k[0], k[1], v) for k, v in oracle.items()],
+            "repo string, path string, _o_sha string",
+        ).withColumn("_in_o", F.lit(True))
+
+    joined = eng.join(odf, KEY_COLS, "full_outer")
+    is_missing = F.col("_in_e").isNull()
+    is_extra = F.col("_in_o").isNull()
+    is_mismatch = (
+        F.col("_in_e").isNotNull()
+        & F.col("_in_o").isNotNull()
+        & ~F.col("_e_sha").eqNullSafe(F.col("_o_sha"))
+    )
+    joined = joined.persist()
+    try:
+        agg = joined.agg(
+            F.count("_in_e").alias("engine_rows"),
+            F.count("_in_o").alias("oracle_rows"),
+            F.sum(is_missing.cast("long")).alias("n_missing"),
+            F.sum(is_extra.cast("long")).alias("n_extra"),
+            F.sum(is_mismatch.cast("long")).alias("n_mismatched"),
+        ).collect()[0]
+        n_missing = int(agg["n_missing"] or 0)
+        n_extra = int(agg["n_extra"] or 0)
+        n_mismatched = int(agg["n_mismatched"] or 0)
+        engine_rows = int(agg["engine_rows"] or 0)
+        oracle_rows = int(agg["oracle_rows"] or 0)
+        missing: dict = {}
+        extra: dict = {}
+        mismatched: dict = {}
+        if n_missing or n_extra or n_mismatched:
+            diffs = (
+                joined.filter(is_missing | is_extra | is_mismatch)
+                .select(*KEY_COLS, "_e_sha", "_o_sha", "_in_e", "_in_o")
+                .limit(max_diff)
+                .collect()
+            )
+            for r in diffs:
+                key = tuple(r[k] for k in KEY_COLS)
+                if r["_in_e"] is None:
+                    missing[key] = r["_o_sha"]
+                elif r["_in_o"] is None:
+                    extra[key] = r["_e_sha"]
+                else:
+                    mismatched[key] = (r["_o_sha"], r["_e_sha"])
+    finally:
+        joined.unpersist()
     return {
-        "equal": not (missing or extra or mismatched),
-        "engine_rows": len(engine),
-        "oracle_rows": len(oracle_state),
+        # engine_rows == oracle_rows also guards duplicate engine keys (a
+        # dup with an equal sha matches row-by-row but inflates the count)
+        "equal": not (n_missing or n_extra or n_mismatched) and engine_rows == oracle_rows,
+        "engine_rows": engine_rows,
+        "oracle_rows": oracle_rows,
+        "n_missing": n_missing,
+        "n_extra": n_extra,
+        "n_mismatched": n_mismatched,
         "missing": missing,
         "extra": extra,
         "mismatched": mismatched,
