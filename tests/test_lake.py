@@ -134,3 +134,49 @@ def test_properties_and_latest_version_where(spark, warehouse):
     v_e0 = t.current_version()
     t.append(spark.createDataFrame([("b", "y", 2)], SCHEMA), properties={"epoch": "1"})
     assert t.latest_version_where(lambda p: p.get("epoch") == "0") == v_e0
+
+
+def test_rename_key_column_keeps_merging(spark, warehouse):
+    """ADVICE fix: renaming a KEY column must update key_cols so subsequent
+    merges resolve the (new) logical name; bucket assignment is unchanged
+    because the physical column feeding xxhash64 is the same."""
+    from wage_etl_spark.operators.merge import merge_apply
+
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("r1", "a", 1), ("r1", "b", 1)], SCHEMA))
+    old_files = dict(t.snapshot().files)
+    t.rename_column("path", "file_path")
+    assert t.snapshot().key_cols == ["repo", "file_path"]
+
+    winners = spark.createDataFrame(
+        [("U", "r1", "a", 2), ("I", "r1", "c", 1)],
+        "op string, repo string, file_path string, v long",
+    )
+    merge_apply(t, winners, ordering_cols=["v"])
+    rows = {r["file_path"]: r["v"] for r in t.read().collect()}
+    assert rows == {"a": 2, "b": 1, "c": 1}
+    # bucket purity preserved: carried-over buckets were not rewritten
+    snap = t.snapshot()
+    untouched = [b for b in old_files if old_files[b] == snap.files.get(b)]
+    assert t.read().count() == 3 and snap.key_cols == ["repo", "file_path"]
+
+
+def test_snapshot_write_is_crash_atomic(spark, warehouse, tmp_path):
+    """A leftover truncated temp file must never wedge history()/resume,
+    and a committed snap file is always complete JSON (fsync+link)."""
+    import json
+    import os
+
+    t = make(spark, warehouse)
+    t.append(spark.createDataFrame([("r1", "a", 1)], SCHEMA))
+    # simulate a writer that crashed mid-write of the NEXT snapshot
+    torn = os.path.join(t.meta_dir, ".snap-deadbeef.tmp")
+    with open(torn, "w") as f:
+        f.write('{"version": 99, "truncat')  # torn JSON
+    assert [s.version for s in t.history()] == [1, 2]
+    assert t.current_version() == 2
+    # commits still work and every snap-*.json parses
+    t.append(spark.createDataFrame([("r1", "b", 1)], SCHEMA))
+    for name in os.listdir(t.meta_dir):
+        if name.startswith("snap-") and name.endswith(".json"):
+            json.load(open(os.path.join(t.meta_dir, name)))

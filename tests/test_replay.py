@@ -51,6 +51,13 @@ def test_manifest_counters_match_oracle(spark, warehouse):
     statuses = {r["status"] for r in m.collect()}
     assert statuses <= {"SUCCESS", "PARTIAL", "FAILED"}
     assert "PARTIAL" in statuses  # invalid_frac>0 -> some epoch had rejects
+    # rows_loaded = epoch-sourced winners (deletes included); rows_merged =
+    # rewritten-bucket totals (carried-over rows included). loaded is
+    # bounded by the epoch's valid events, merged is not comparable to it.
+    for r in m.collect():
+        assert r["rows_loaded"] is not None
+        assert r["rows_loaded"] <= r["events_in"] - r["rows_quarantined"]
+    assert m.select(F.sum("rows_loaded")).first()[0] <= n_valid
 
 
 def test_all_valid_stream_is_success(spark, warehouse):

@@ -34,6 +34,7 @@ MANIFEST_SCHEMA = StructType(
         StructField("status", StringType()),
         StructField("events_in", LongType()),
         StructField("rows_merged", LongType()),
+        StructField("rows_loaded", LongType()),
         StructField("rows_quarantined", LongType()),
         StructField("run_id", LongType()),
         StructField("snapshot_id", LongType()),
@@ -49,7 +50,11 @@ def create_manifest(spark: SparkSession, root: str) -> LakeTable:
 
 
 def epoch_status(events_in: int, rows_valid: int, quarantined: int) -> str:
-    """Reference decision table, main.py:117-126."""
+    """Reference decision table (main.py:117-126) with one DELIBERATE
+    divergence: the reference marks total_loaded==0 FAILED unconditionally;
+    here an EMPTY epoch (events_in==0) is SUCCESS, because in a CDC replay a
+    quiet epoch is a legitimate no-op, not a failure. An epoch whose events
+    were ALL quarantined still maps to FAILED, matching the reference."""
     if events_in > 0 and rows_valid == 0:
         return "FAILED"
     if quarantined > 0:
@@ -66,6 +71,7 @@ def commit_epoch(
     events_in: int,
     rows_merged: int,
     rows_quarantined: int,
+    rows_loaded: int | None = None,
     snapshot_id: int,
     start_ts,
     end_ts,
@@ -75,11 +81,17 @@ def commit_epoch(
     """Append the epoch summary row + per-partition (bucket) lineage rows.
     This is the LAST write of an epoch — its presence is the commit point.
     Written driver-side (pyarrow): a manifest append must never cost a
-    cluster job."""
+    cluster job.
+
+    Two row counts are recorded (the reference's wages_loaded tracks only
+    epoch-sourced rows): ``rows_loaded`` = rows the epoch itself contributed
+    (staged winners), ``rows_merged`` = total rows in every rewritten bucket
+    (carried-over rows included — the copy-on-write write amplification)."""
     rows = [
         dict(
             epoch=epoch, partition_id=None, status=status, events_in=events_in,
-            rows_merged=rows_merged, rows_quarantined=rows_quarantined, run_id=run_id,
+            rows_merged=rows_merged, rows_loaded=rows_loaded,
+            rows_quarantined=rows_quarantined, run_id=run_id,
             snapshot_id=snapshot_id, start_ts=start_ts, end_ts=end_ts,
             error_message=error_message,
         )
@@ -88,7 +100,7 @@ def commit_epoch(
         rows.append(
             dict(
                 epoch=epoch, partition_id=int(pid), status=status, events_in=None,
-                rows_merged=int(cnt), rows_quarantined=None, run_id=run_id,
+                rows_merged=int(cnt), rows_loaded=None, rows_quarantined=None, run_id=run_id,
                 snapshot_id=snapshot_id, start_ts=start_ts, end_ts=end_ts,
                 error_message=None,
             )

@@ -110,6 +110,28 @@ class Snapshot:
         return [f for fs in self.files.values() for f in fs]
 
 
+def _safe_widen(a, b):
+    """The wider of two types when the pair is a safe promotion (int family,
+    float family, decimal precision at equal scale); None otherwise."""
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+    )
+
+    def rank(t, family):
+        for i, cls in enumerate(family):
+            if isinstance(t, cls):
+                return i
+        return None
+
+    for family in ([ByteType, ShortType, IntegerType, LongType], [FloatType, DoubleType]):
+        ra, rb = rank(a, family), rank(b, family)
+        if ra is not None and rb is not None:
+            return a if ra >= rb else b
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType) and a.scale == b.scale:
+        return a if a.precision >= b.precision else b
+    return None
+
+
 def bucket_expr(key_cols: list[str], num_buckets: int):
     """Stable hash bucket of the natural key — xxhash64 is version-stable in
     Spark, so bucket assignment survives re-runs and engine upgrades."""
@@ -183,15 +205,29 @@ class LakeTable:
         return (max(vs) + 1) if vs else 1
 
     def _write_snapshot(self, snap: Snapshot) -> None:
+        """Crash-atomic commit: the snapshot JSON is fully written + fsynced
+        to a temp file, then hard-linked to its final name. link(2) fails
+        with EEXIST if another writer committed the version first (same
+        conflict detection as O_EXCL), and a crash at any point leaves either
+        no snap file or a complete one — never a truncated JSON that would
+        wedge history()/resume."""
         path = os.path.join(self.meta_dir, f"snap-{snap.version:08d}.json")
+        tmp_snap = os.path.join(self.meta_dir, f".snap-{uuid.uuid4().hex}.tmp")
+        with open(tmp_snap, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            with open(path, "x") as f:
-                f.write(snap.to_json())
+            os.link(tmp_snap, path)
         except FileExistsError as e:
             raise SnapshotConflict(f"version {snap.version} already committed") from e
+        finally:
+            os.unlink(tmp_snap)
         tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(snap.version))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.meta_dir, HINT_FILE))
 
     def _commit(
@@ -202,12 +238,13 @@ class LakeTable:
         properties: dict[str, str],
         renames: dict[str, str] | None = None,
         parent: Snapshot | None = None,
+        key_cols: list[str] | None = None,
     ) -> Snapshot:
         parent = parent or self.snapshot()
         snap = Snapshot(
             version=self._next_version(),
             schema_json=schema.json(),
-            key_cols=parent.key_cols,
+            key_cols=key_cols if key_cols is not None else parent.key_cols,
             num_buckets=parent.num_buckets,
             files=files,
             operation=operation,
@@ -277,19 +314,54 @@ class LakeTable:
 
     def _merged_schema(self, df: DataFrame) -> tuple[StructType, DataFrame, bool]:
         """Schema-evolution-on-write: union of current schema and df's schema
-        (new columns appended, nullable) — the Iceberg ``mergeSchema`` analog;
-        reference analog: migration V008 adding a NOT NULL column
-        (/root/reference/sql/migrations/V008__ALTER_county_fips_and_add_year.sql)."""
+        — the Iceberg ``mergeSchema`` analog. New columns are appended
+        (nullable); type changes on existing columns are resolved by SAFE
+        WIDENING (byte<short<int<long, float<double, decimal precision at
+        equal scale — Iceberg's promotion rules). A wider incoming type
+        widens the table schema (old narrow files stay: Spark's parquet
+        reader up-casts at scan time, SPARK-40876); a narrower incoming type
+        is cast up to the table type. Anything else raises.
+
+        Reference analog: migration V008 both adds a NOT NULL column and
+        widens county_fips CHAR(3)->CHAR(5)
+        (/root/reference/sql/migrations/V008__ALTER_county_fips_and_add_year.sql:1-19)."""
         cur = self.snapshot().schema
+        key_cols = set(self.snapshot().key_cols)
+        df_types = {f.name: f.dataType for f in df.schema.fields}
+        fields = []
+        evolved = False
+        for f in cur.fields:
+            t = f.dataType
+            if f.name in df_types and df_types[f.name] != t:
+                w = _safe_widen(t, df_types[f.name])
+                if w is None:
+                    raise ValueError(
+                        f"unsafe type change for column '{f.name}': "
+                        f"{t.simpleString()} -> {df_types[f.name].simpleString()}"
+                    )
+                if f.name in key_cols and w != t:
+                    # key columns feed xxhash64 bucketing; a type change would
+                    # silently re-map buckets and break bucket purity
+                    raise ValueError(
+                        f"cannot widen key column '{f.name}' "
+                        f"({t.simpleString()} -> {w.simpleString()}): bucket "
+                        "hashes are type-sensitive"
+                    )
+                if w != t:
+                    evolved = True
+                t = w
+            fields.append(type(f)(f.name, t, True))
         cur_names = {f.name for f in cur.fields}
         new_fields = [f for f in df.schema.fields if f.name not in cur_names]
-        evolved = len(new_fields) > 0
-        schema = StructType(list(cur.fields) + [
-            type(f)(f.name, f.dataType, True) for f in new_fields
-        ])
+        evolved = evolved or len(new_fields) > 0
+        schema = StructType(fields + [type(f)(f.name, f.dataType, True) for f in new_fields])
         aligned = df.select(
             *[
-                (F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
                 for f in schema.fields
             ]
         )
@@ -314,7 +386,10 @@ class LakeTable:
 
     def rename_column(self, old: str, new: str, properties: dict[str, str] | None = None) -> Snapshot:
         """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME COLUMN
-        analog): no data files are rewritten; reads remap on the fly."""
+        analog): no data files are rewritten; reads remap on the fly. A key
+        column rename updates key_cols too, so merge bucketing keeps
+        resolving (bucket assignment is unchanged — the physical column, and
+        hence xxhash64 input, is the same)."""
         snap = self.snapshot()
         fields = []
         for f in snap.schema.fields:
@@ -323,8 +398,10 @@ class LakeTable:
         # chase chains: physical name is the original file column name
         physical = next((p for p, cur in renames.items() if cur == old), old)
         renames[physical] = new
+        key_cols = [new if k == old else k for k in snap.key_cols]
         return self._commit(
-            snap.files, StructType(fields), "rename", properties or {}, renames=renames, parent=snap
+            snap.files, StructType(fields), "rename", properties or {},
+            renames=renames, parent=snap, key_cols=key_cols,
         )
 
     def rollback_to(self, version: int, properties: dict[str, str] | None = None) -> Snapshot:

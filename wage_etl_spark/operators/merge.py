@@ -117,8 +117,14 @@ def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, 
 
     # 4. align both sides to the evolved schema + merge metadata columns
     def align(df: DataFrame, is_source: int, op_expr) -> DataFrame:
+        # cast handles type-widened columns (old target files read narrow,
+        # the evolved schema is wider); no-op when types already match
         cols = [
-            (F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
             for f in schema.fields
         ]
         return df.select(*cols, F.lit(is_source).alias("_is_source"), op_expr.alias("_op"))

@@ -257,8 +257,17 @@ def apply_epoch(
         stage_dir = os.path.join(epoch_tmp, "_route=stage")
         merge_cols = [*payload_cols, "content_sha256", "epoch", "run_id", "load_timestamp"]
         if os.path.isdir(stage_dir):
+            import pyarrow.parquet as _pq
+
+            # epoch-sourced row count from footers (no extra Spark job)
+            rows_loaded = sum(
+                _pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
+                for f in os.listdir(stage_dir)
+                if f.endswith(".parquet")
+            )
             staged = spark_.read.parquet(stage_dir).select(*merge_cols)
         else:
+            rows_loaded = 0
             staged = spark_.createDataFrame([], tagged.select(*payload_cols).schema).selectExpr(
                 "*", "cast(null as string) content_sha256",
                 "cast(null as long) epoch", "cast(null as long) run_id",
@@ -277,7 +286,7 @@ def apply_epoch(
     commit_epoch(
         manifest,
         epoch=epoch, run_id=run_id, status=status, events_in=events_in,
-        rows_merged=rows_written, rows_quarantined=n_quarantined,
+        rows_merged=rows_written, rows_loaded=rows_loaded, rows_quarantined=n_quarantined,
         snapshot_id=snap.version, start_ts=start_ts, end_ts=end_ts,
         partition_counts={int(b): c for b, c in bucket_counts.items()},
     )

@@ -45,12 +45,30 @@ def start_stream(
     events_stream: DataFrame,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    allow_no_tombstones: bool = False,
 ):
     """Run the CDC pipeline over a stream. Exactly-once: Spark's streaming
     checkpoint gives at-least-once foreachBatch invocations with stable
     batch ids; the manifest check makes re-invocations no-ops, and the
     epoch-tagged snapshot rollback cleans torn batches — the same protocol
-    as batch resume."""
+    as batch resume.
+
+    Micro-batch boundaries are arbitrary file groupings, NOT version order,
+    so the stream front-end FORCES keep_tombstones=True: without a tombstone
+    a delete leaves no trace and a late lower-version event would silently
+    resurrect the key. Readers must filter is_deleted. Pass
+    ``allow_no_tombstones=True`` only when the source is known to deliver
+    batches in non-decreasing version order (then cfg.keep_tombstones is
+    honored as given)."""
+    if not cfg.keep_tombstones and not allow_no_tombstones:
+        import dataclasses
+        import logging
+
+        logging.getLogger("wage_etl_spark.streaming").warning(
+            "start_stream: forcing keep_tombstones=True (micro-batches are "
+            "unordered; pass allow_no_tombstones=True to override)"
+        )
+        cfg = dataclasses.replace(cfg, keep_tombstones=True)
     target, dlq, manifest = open_tables(spark, cfg)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
