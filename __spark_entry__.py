@@ -408,6 +408,80 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+HTML_PAGE_1 = """
+<html><body>
+<p>County data. Last updated on January 15, 2025.</p>
+<table class="results_table">
+<thead>
+<tr><th></th><th>1 Adult</th><th colspan="2">2 Adults (1 Working)</th></tr>
+<tr><th>Category</th><th></th><th>1 Child</th><th>2 Children</th></tr>
+</thead>
+<tbody>
+<tr><td>Living Wage</td><td>$18.71</td><td>$38.87</td><td>$45.10</td></tr>
+<tr><td>Poverty Wage</td><td>$6.19</td><td>$10.56</td><td>$13.30</td></tr>
+<tr><td>Minimum Wage</td><td>$15.13</td><td>$15.13</td></tr>
+<tr><td>Typical Expenses</td><td>$3,442</td><td>invalid</td><td></td></tr>
+</tbody></table></body></html>
+"""
+HTML_PAGE_2 = """
+<html><body><div>Last updated on March 3, 2024</div>
+<table class="decoy_table"><tbody><tr><td>ignore me</td></tr></tbody></table>
+<table class="results_table">
+<thead><tr><th>Category</th><th>2 Adults</th><th>3 Adults (All Working)</th></tr></thead>
+<tbody>
+<tr><td>Living Wage</td><td>$20.00</td><td>$25.00</td></tr>
+<tr><td>Poverty Wage</td><td>$8.00</td><td>$9.00</td></tr>
+</tbody></table></body></html>
+"""
+
+
+def q_html_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's whole extract lifecycle (main.py:32-135) as one plan:
+    HTML results-table scan (S3: colspan composite headers, ragged-row
+    repair, decoy-table skip, updated-stamp extraction) -> melt (U2) ->
+    family broadcast join (J1) -> category canonicalize + slug (J2/F3/F4)
+    -> currency clean (F1) -> zfill key + date parse (F5/F6) -> model gate.
+    The oracle encodes the EXPECTED parse as VALUES and replays the same
+    transform in SQL, so a parser/normalizer divergence breaks the hash."""
+    from wage_etl_spark.operators.reshape import normalize_scanned_pages
+    from wage_etl_spark.sources.html_table import scan_html_tables
+
+    pages = spark.createDataFrame(
+        [("34001", HTML_PAGE_1), ("7", HTML_PAGE_2)], "page_id string, html string"
+    )
+    out = normalize_scanned_pages(scan_html_tables(pages))
+    return out.select(
+        "county_fips", "page_updated_at",
+        F.col("adults").cast("int").alias("adults"),
+        F.col("working_adults").cast("int").alias("working_adults"),
+        F.col("children").cast("int").alias("children"),
+        "wage_type", F.round("hourly_wage", 2).alias("hourly_wage"), "valid",
+    )
+
+
+# expected parse of the two HTML fixtures: (page_id, updated_raw, category,
+# adults, working_adults, children, raw_cell) — one row per (category,
+# family-header) pair, family-join results pre-resolved
+HTML_EXPECTED_PARSE = [
+    ("34001", "January 15, 2025", "Living Wage", 1, 1, 0, "$18.71"),
+    ("34001", "January 15, 2025", "Living Wage", 2, 1, 1, "$38.87"),
+    ("34001", "January 15, 2025", "Living Wage", 2, 1, 2, "$45.10"),
+    ("34001", "January 15, 2025", "Poverty Wage", 1, 1, 0, "$6.19"),
+    ("34001", "January 15, 2025", "Poverty Wage", 2, 1, 1, "$10.56"),
+    ("34001", "January 15, 2025", "Poverty Wage", 2, 1, 2, "$13.30"),
+    ("34001", "January 15, 2025", "Minimum Wage", 1, 1, 0, "$15.13"),
+    ("34001", "January 15, 2025", "Minimum Wage", 2, 1, 1, "$15.13"),
+    ("34001", "January 15, 2025", "Minimum Wage", 2, 1, 2, ""),  # ragged row pad
+    ("34001", "January 15, 2025", "Typical Expenses", 1, 1, 0, "$3,442"),
+    ("34001", "January 15, 2025", "Typical Expenses", 2, 1, 1, "invalid"),
+    ("34001", "January 15, 2025", "Typical Expenses", 2, 1, 2, ""),
+    ("7", "March 3, 2024", "Living Wage", 2, 2, 0, "$20.00"),
+    ("7", "March 3, 2024", "Living Wage", None, None, None, "$25.00"),  # unknown family
+    ("7", "March 3, 2024", "Poverty Wage", 2, 2, 0, "$8.00"),
+    ("7", "March 3, 2024", "Poverty Wage", None, None, None, "$9.00"),
+]
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -441,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_customers_per_nation": q_top2_customers_per_nation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
+        "html_extract_lifecycle": q_html_extract_lifecycle,
     }
 
 
@@ -483,6 +558,13 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {repr(s) if s is not None else 'NULL'})" for i, s in MONEY_FIXTURE
     ).replace("'NULL'", "NULL")
     wage_values = ", ".join(f"({repr(c)}, {repr(a)}, {repr(b)})" for c, a, b in WAGE_WIDE_FIXTURE)
+
+    def _sqlv(v):
+        return "NULL" if v is None else (repr(v) if isinstance(v, str) else str(v))
+
+    html_parse_values = ", ".join(
+        "(" + ", ".join(_sqlv(v) for v in row) + ")" for row in HTML_EXPECTED_PARSE
+    )
 
     return {
         "cdc_lww_state": """
@@ -692,6 +774,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name, c_custkey::BIGINT AS c_custkey, spend, rnk::BIGINT AS rnk
             FROM ranked WHERE rnk <= 2
+        """,
+        "html_extract_lifecycle": f"""
+            WITH parsed(page_id, updated_raw, category, adults, working_adults, children, raw)
+              AS (VALUES {html_parse_values}),
+            typed AS (
+              SELECT *,
+                     CASE lower(category)
+                       WHEN 'living wage' THEN 'living'
+                       WHEN 'poverty wage' THEN 'poverty'
+                       WHEN 'minimum wage' THEN 'minimum'
+                       ELSE replace(trim(regexp_replace(lower(category), '[^\\w]+', ' ', 'g')), ' ', '_')
+                     END AS wage_type
+              FROM parsed
+            )
+            SELECT lpad(page_id, 5, '0') AS county_fips,
+                   strptime(updated_raw, '%B %d, %Y')::DATE AS page_updated_at,
+                   adults::INT AS adults, working_adults::INT AS working_adults,
+                   children::INT AS children, wage_type,
+                   round(coalesce(try_cast(trim(regexp_replace(raw, '[\\$,]', '', 'g')) AS DOUBLE), 0.0), 2) AS hourly_wage,
+                   (adults IS NOT NULL AND wage_type IN ('living', 'poverty', 'minimum')) AS valid
+            FROM typed
         """,
         # Mirrors operators/dedupe.py:minhash_lsh_pairs (num_hashes=16,
         # bands=8 -> r=2, k=3): signature -> (band_id, band_hash) rows ->

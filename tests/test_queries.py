@@ -43,7 +43,9 @@ def _norm_cell(v):
 
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    # repr key: None-safe total order (tuples with NULL cells aren't
+    # comparable with <); both sides normalize to the same cell types first
+    out = sorted((tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr)
     return [cols[i] for i in order], out
 
 

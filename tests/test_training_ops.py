@@ -113,3 +113,59 @@ def test_hyperplane_buckets_deterministic_and_groupy(spark):
     assert all(0 <= v < 256 for v in b1.values())
     # buckets must actually partition the corpus (not all-one-bucket)
     assert len(set(b1.values())) > 10
+
+
+def test_simhash_multi_table_recall_is_total(spark):
+    """n_tables = max_hamming + 1 guarantees every pair within the Hamming
+    budget is found (pigeonhole over bit blocks) — recall 1.0 vs brute
+    force on a seeded corpus, where the single-prefix table may miss."""
+    import random
+
+    from wage_etl_spark.functions.hashing import hamming64
+    from wage_etl_spark.operators.dedupe import simhash_signatures
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    docs = []
+    base_texts = []
+    for i in range(40):
+        toks = [rng.choice(words) for _ in range(30)]
+        base_texts.append(toks)
+        docs.append((i, " ".join(toks)))
+    # near-dups: mutate 1-3 tokens of a base doc (small simhash perturbation)
+    for j in range(40):
+        toks = list(base_texts[j % 40])
+        for _ in range(rng.randint(1, 3)):
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+        docs.append((100 + j, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    k = 6
+    sh = simhash_signatures(df, "text", "doc_id")
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+        )
+        .filter(F.col("h") <= k)
+        .collect()
+    }
+    assert brute, "seeded corpus must contain near-dup pairs"
+
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(
+            df, "text", "doc_id", max_hamming=k, n_tables=k + 1
+        ).collect()
+    }
+    assert multi == brute  # recall 1.0 AND no false positives post-filter
+
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(df, "text", "doc_id", max_hamming=k).collect()
+    }
+    assert single <= brute  # single table never invents pairs...
+    # ...but its recall is allowed to be (and typically is) partial

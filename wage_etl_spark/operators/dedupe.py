@@ -178,21 +178,60 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 60
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by the top `prefix_bits` bits (Manku
-    et al.'s table trick reduced to one table), equi-join buckets, filter by
-    Hamming distance. At scale use multiple bit-rotations (more tables);
-    one prefix table keeps the demo plan compact."""
+    """SimHash near-dup pairs (Manku et al., WWW'07).
+
+    ``n_tables=1`` (default): bucket by the top ``prefix_bits`` bits — the
+    compact single-table plan; pairs whose differing bits all fall in the
+    prefix are missed (recall loss, documented).
+
+    ``n_tables>1``: split the 60 signature bits into ``n_tables`` contiguous
+    blocks and join on (table_id, block value). By pigeonhole, two
+    signatures within Hamming distance ``n_tables - 1`` agree EXACTLY on at
+    least one block, so ``n_tables = max_hamming + 1`` guarantees recall
+    1.0 vs brute force — the production shape at corpus scale. Each table
+    is an equi-join on small keys; candidates deduplicate in the final
+    per-pair aggregate. No cross join either way."""
     sh = simhash_signatures(df, text_col, id_col)
-    bucketed = sh.withColumn("bucket", F.shiftrightunsigned("simhash", 60 - prefix_bits))
+    if n_tables <= 1:
+        bucketed = sh.withColumn(
+            "t", F.lit(0)
+        ).withColumn("bucket", F.shiftrightunsigned("simhash", 60 - prefix_bits))
+    else:
+        # contiguous blocks covering all 60 bits, widths differing by <=1
+        bounds = [round(i * 60 / n_tables) for i in range(n_tables + 1)]
+        blocks = [
+            F.struct(
+                F.lit(i).alias("t"),
+                F.shiftrightunsigned("simhash", bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                .alias("bucket"),
+            )
+            for i in range(n_tables)
+        ]
+        bucketed = sh.select(
+            "id", "simhash", F.explode(F.array(*blocks)).alias("_blk")
+        ).select("id", "simhash", "_blk.t", "_blk.bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
-from wage_etl_spark.functions.cleaning import clean_currency, normalize_header, slugify
+from wage_etl_spark.functions.cleaning import (
+    clean_currency, normalize_header, parse_updated_date, slugify, zfill,
+)
 
 # 12-entry family-config dimension (reference constants.py:5-18)
 FAMILY_CONFIGS = [
@@ -89,4 +91,43 @@ def normalize_wages_wide(
             wage_map[F.lower(F.col("category"))], slugify(F.col("category"))
         ).alias("wage_type"),
         clean_currency("raw_value").alias("hourly_wage"),
+    )
+
+
+def normalize_scanned_pages(scanned: DataFrame) -> DataFrame:
+    """The full extract lifecycle after the HTML scan, fully distributed
+    (no per-page driver loop): scan_html_tables output (page_id, category,
+    values map, page_updated_raw) -> explode the map (the melt, U2) ->
+    header normalize + broadcast family-dim join (F2, J1) -> category
+    canonicalize with slug fallback (J2, F3, F4) -> currency clean (F1) ->
+    key zero-pad (F5) + page-date parse (F6). Mirrors the reference's
+    per-page loop main.py:65-103 as one Spark plan over all pages.
+
+    ``valid`` marks rows passing the model gate (known family config +
+    canonical wage category — reference models.py:28-54)."""
+    spark = scanned.sparkSession
+    dim = family_config_dim(spark)
+    long = scanned.select(
+        "page_id",
+        "category",
+        "page_updated_raw",
+        F.explode("values").alias("family_raw", "raw_value"),
+    )
+    long = long.withColumn("family", normalize_header("family_raw")).join(
+        broadcast(dim), "family", "left"
+    )
+    wage_map = F.create_map(*[F.lit(x) for kv in WAGE_TYPES.items() for x in kv])
+    wage_type = F.coalesce(wage_map[F.lower(F.col("category"))], slugify(F.col("category")))
+    return long.select(
+        zfill("page_id", 5).alias("county_fips"),
+        parse_updated_date("page_updated_raw").alias("page_updated_at"),
+        F.col("adults"),
+        F.col("working_adults"),
+        F.col("children"),
+        wage_type.alias("wage_type"),
+        clean_currency("raw_value").alias("hourly_wage"),
+        (
+            F.col("adults").isNotNull()
+            & wage_type.isin(*sorted(set(WAGE_TYPES.values())))
+        ).alias("valid"),
     )
