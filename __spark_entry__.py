@@ -717,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": f"""
             SELECT doc_id, j::BIGINT AS h_idx,
                    list_min(list_transform({shingles},
-                     s -> ('0x' || substr(md5(s || '#' || j), 1, 8))::BIGINT)) AS minhash
+                     s -> ('0x' || substr(md5(s || '#' || (j // 4)), (j % 4) * 8 + 1, 8))::BIGINT)) AS minhash
             FROM documents, generate_series(0, 7) AS t(j)
         """,
         "embedding_topk": f"""
@@ -804,7 +804,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_transform(generate_series(0, 15),
                        j -> list_min(list_transform({shingles},
-                              s -> ('0x' || substr(md5(s || '#' || j), 1, 8))::BIGINT))) AS signature
+                              s -> ('0x' || substr(md5(s || '#' || (j // 4)), (j % 4) * 8 + 1, 8))::BIGINT))) AS signature
               FROM documents
             ), banded AS (
               SELECT doc_id, signature, b AS band_id,
