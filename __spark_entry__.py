@@ -408,6 +408,74 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lsh_jaccard_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The full near-dup pipeline: banded-LSH candidate generation -> exact
+    k-token-shingle Jaccard verification (never all-pairs; the verify stage
+    touches candidates only). Candidate pairs are broadcast back against the
+    corpus, so the big side never shuffles."""
+    from wage_etl_spark.operators.dedupe import minhash_lsh_pairs, ngram_jaccard
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=8, k=3).select(
+        "id_a", "id_b"
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    # candidates are LSH-bounded (tiny vs corpus): broadcast them through
+    # both text-attach joins so documents is never shuffled
+    j = a.join(broadcast(pairs), "id_a")
+    j = b.join(broadcast(j), "id_b")
+    out = ngram_jaccard(j, "text_a", "text_b", k=3)
+    return out.filter(F.col("jaccard") >= 0.5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage ANN (the 100 TB scale path): IVF coarse quantization
+    (nearest label-centroid, broadcast) then exact cosine top-k probing ONLY
+    the query's cluster — ~1/n_labels of the brute-force work, corpus still
+    never shuffles. Deterministic (rounded sims, id tie-breaks), so recall
+    vs brute force is itself oracle-checkable."""
+    emb = _t(spark, sf, "embeddings")
+    cents = label_centroids(emb, "embedding", "label").select(
+        "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
+    )
+    assigned = assign_nearest_centroid(emb, cents, "embedding", "vec_id").select(
+        "vec_id", "assigned_label"
+    )
+    corpus = emb.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+        "assigned_label",
+    )
+    queries = corpus.filter(F.col("neighbor_id") % 97 == 0).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("cv").alias("qv"),
+        F.col("assigned_label").alias("q_label"),
+    )
+    scored = corpus.join(
+        broadcast(queries),
+        (F.col("assigned_label") == F.col("q_label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
 HTML_PAGE_1 = """
 <html><body>
 <p>County data. Last updated on January 15, 2025.</p>
@@ -516,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "html_extract_lifecycle": q_html_extract_lifecycle,
+        "lsh_jaccard_verified": q_lsh_jaccard_verified,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
     }
 
 
@@ -538,12 +608,17 @@ def _cos(a: str, b: str) -> str:
 _TOKENS = "regexp_split_to_array(trim({c}), '\\s+')"
 
 
+def _shingles_of(col: str) -> str:
+    t = _TOKENS.format(c=col)
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 1)), "
+        f"i -> array_to_string(({t})[i:i+2], ' ')))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKENS.format(c="text")
-    shingles = (
-        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
-        f"i -> array_to_string(({toks})[i:i+2], ' ')))"
-    )
+    shingles = _shingles_of("text")
     lang_score = {
         lang: " + ".join(
             f"((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '{m}', ''))) // {len(m)})"
@@ -841,6 +916,79 @@ def oracle_sql() -> dict[str, str]:
             FROM sim a JOIN sim b
               ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+        """,
+        # LSH candidates (same CTEs as minhash_lsh_pairs) -> exact shingle
+        # Jaccard on candidates only (mirrors dedupe.ngram_jaccard)
+        "lsh_jaccard_verified": f"""
+            WITH sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       j -> list_min(list_transform({shingles},
+                              s -> ('0x' || substr(md5(s || '#' || (j // 4)), (j % 4) * 8 + 1, 8))::BIGINT))) AS signature
+              FROM documents
+            ), banded AS (
+              SELECT doc_id, b AS band_id,
+                     md5(array_to_string(signature[b*2+1:b*2+2], ',')) AS band_hash
+              FROM sig, generate_series(0, 7) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+            ), verified AS (
+              SELECT id_a, id_b,
+                     len(list_distinct(list_intersect(sa, sb)))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa, sb))), 1) AS jaccard
+              FROM (
+                SELECT c.id_a, c.id_b,
+                       {_shingles_of('d1.text')} AS sa,
+                       {_shingles_of('d2.text')} AS sb
+                FROM cand c
+                JOIN documents d1 ON d1.doc_id = c.id_a
+                JOIN documents d2 ON d2.doc_id = c.id_b
+              )
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jaccard, 4) AS jaccard
+            FROM verified WHERE jaccard >= 0.5
+        """,
+        # IVF two-stage ANN: centroid assignment (as embedding_centroids),
+        # then exact cosine top-3 probing only the query's cluster
+        "embedding_ann_ivf": f"""
+            WITH comp AS (
+              SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 8) AS v
+              FROM embeddings, generate_series(1, 64) AS t(i)
+              GROUP BY label, i
+            ), cents AS (
+              SELECT label, list(v ORDER BY pos) AS centroid FROM comp GROUP BY label
+            ), scored0 AS (
+              SELECT e.vec_id, c.label, {_cos('e.embedding', 'c.centroid')} AS sim_exact
+              FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, label AS assigned_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim_exact, 6) DESC, label ASC) AS rn
+                FROM scored0
+              ) WHERE rn = 1
+            ), corpus AS (
+              SELECT e.vec_id, e.embedding, a.assigned_label
+              FROM embeddings e JOIN assigned a USING (vec_id)
+            ), q AS (
+              SELECT vec_id AS query_id, embedding AS qv, assigned_label AS q_label
+              FROM corpus WHERE vec_id % 97 = 0
+            ), scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     {_cos('q.qv', 'c.embedding')} AS cos_exact
+              FROM corpus c JOIN q ON c.assigned_label = q.q_label AND c.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(cos_exact, 6) DESC, neighbor_id ASC) AS rank,
+                     cos_exact
+              FROM scored
+            )
+            SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+                   rank::BIGINT AS rank, round(cos_exact, 4) AS cosine
+            FROM ranked WHERE rank <= 3
         """,
         "embedding_centroids": f"""
             WITH comp AS (

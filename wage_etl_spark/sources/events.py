@@ -25,6 +25,7 @@ class EpochSource:
     def __init__(self, df: DataFrame):
         self._df = df
         self._max_epoch: int | None = None
+        self._dead_by_epoch: dict[int, list[str]] | None = None
 
     @staticmethod
     def from_parquet(spark: SparkSession, path: str) -> "EpochSource":
@@ -36,18 +37,32 @@ class EpochSource:
             self._max_epoch = int(row["m"]) if row and row["m"] is not None else -1
         return self._max_epoch
 
+    def _dead_columns(self, e: int) -> list[str]:
+        """Evolvable columns that are entirely absent in epoch ``e``.
+        Computed for ALL epochs in one slim aggregate on first use — a
+        16-epoch replay must not pay 16 presence-probe scan jobs (the
+        aggregate reads only (epoch, evolvable) columns)."""
+        present = [c for c in self._df.columns if c in EVOLVABLE]
+        if not present:
+            return []
+        if self._dead_by_epoch is None:
+            rows = (
+                self._df.groupBy("epoch")
+                .agg(*[F.count(F.col(c)).alias(c) for c in present])
+                .collect()
+            )
+            self._dead_by_epoch = {
+                int(r["epoch"]): [c for c in present if r[c] == 0] for r in rows
+            }
+        return self._dead_by_epoch.get(e, [])
+
     def epoch(self, e: int) -> DataFrame:
         """Events of epoch ``e``; partition-pruned when the backing parquet is
         written ``partitionBy("epoch")`` (the filter reaches the scan)."""
         df = self._df.filter(F.col("epoch") == e)
-        present = [c for c in df.columns if c in EVOLVABLE]
-        if present:
-            counts = df.select(
-                *[F.count(F.col(c)).alias(c) for c in present]
-            ).first()
-            dead = [c for c in present if counts and counts[c] == 0]
-            if dead:
-                df = df.drop(*dead)
+        dead = self._dead_columns(e)
+        if dead:
+            df = df.drop(*dead)
         return df
 
 

@@ -158,8 +158,17 @@ def apply_epoch(
 
     from wage_etl_spark.operators.validate import REASON_MAX_LEN, tag_events
 
+    import time as _time
+
     spark_ = events.sparkSession
     start_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    _t0 = _time.monotonic()
+    _phase = {}
+
+    def _mark(name):
+        nonlocal _t0
+        _phase[name] = round(_time.monotonic() - _t0, 3)
+        _t0 = _time.monotonic()
 
     tagged = tag_events(events)
     is_bad = F.size("_violations") > 0
@@ -234,7 +243,9 @@ def apply_epoch(
     )
     epoch_tmp = os.path.join(cfg.warehouse, "_epoch_tmp", _uuid.uuid4().hex)
     try:
+        _mark("plan")
         routed.write.mode("overwrite").partitionBy("_route").parquet(epoch_tmp)
+        _mark("route_write")
         if cfg.dedup_strategy == "auto":
             versions.unpersist()
         events_in = int(obs.get["events_in"])
@@ -252,6 +263,7 @@ def apply_epoch(
         dlq.adopt_files(dlq_files, properties={"epoch": str(epoch)}) if dlq_files else dlq._commit(
             dlq.snapshot().files, dlq.snapshot().schema, "append-noop", {"epoch": str(epoch)}
         )
+        _mark("dlq")
 
         # MERGE: consume the staged winners (already deduped and tiny)
         stage_dir = os.path.join(epoch_tmp, "_route=stage")
@@ -278,8 +290,10 @@ def apply_epoch(
             properties={"epoch": str(epoch)}, stage_source=False,
             tombstones=cfg.keep_tombstones,
         )
+        _mark("merge")
     finally:
         shutil.rmtree(epoch_tmp, ignore_errors=True)
+        _mark("cleanup")
 
     status = epoch_status(events_in, n_valid, n_quarantined)
     end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
@@ -290,10 +304,13 @@ def apply_epoch(
         snapshot_id=snap.version, start_ts=start_ts, end_ts=end_ts,
         partition_counts={int(b): c for b, c in bucket_counts.items()},
     )
+    _mark("manifest")
+    log.debug("epoch %s phases: %s", epoch, _phase)
     return {
         "epoch": epoch, "status": status, "events_in": events_in,
         "valid": n_valid, "quarantined": n_quarantined,
         "rows_written": rows_written, "snapshot": snap.version,
+        "phases": _phase,
     }
 
 
@@ -311,8 +328,12 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
     stop = source.max_epoch()
     if cfg.max_epochs is not None:
         stop = min(stop, last + cfg.max_epochs)
+    import time as _time
+
     for e in range(last + 1, stop + 1):
+        _t0 = _time.monotonic()
         res = apply_epoch(spark, cfg, target, dlq, manifest, source.epoch(e), e, run_id)
+        res["epoch_wall_s"] = round(_time.monotonic() - _t0, 3)
         log.info("epoch %s: %s", e, res)
         results.append(res)
     return results
