@@ -44,6 +44,7 @@ def merge_apply(
     properties: dict[str, str] | None = None,
     stage_source: bool = True,
     tombstones: bool = False,
+    touched_buckets: list[int] | None = None,
 ) -> tuple[Snapshot, int, dict[str, int]]:
     """Apply deduped winners to the table; returns
     (snapshot, rows_written, rows_per_bucket).
@@ -56,6 +57,10 @@ def merge_apply(
     winners to a staging parquet first, so the expensive upstream pipeline
     (scan + validate + dedup) runs exactly once — the touched-bucket probe
     and the merge join then read the staged winners, not the raw events.
+
+    ``touched_buckets``: callers that already know the winners' bucket set
+    (e.g. the replay route job writes stage output partitioned by bucket, so
+    the set is a directory listing) pass it here and skip the probe job.
     """
     import shutil
     import uuid as _uuid
@@ -71,17 +76,23 @@ def merge_apply(
 
     try:
         return _merge_apply_inner(
-            table, winners, ordering_cols, op_col, properties, snap, key_cols, tombstones
+            table, winners, ordering_cols, op_col, properties, snap, key_cols,
+            tombstones, touched_buckets,
         )
     finally:
         if staging_dir:
             shutil.rmtree(staging_dir, ignore_errors=True)
 
 
-def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, key_cols, tombstones=False):
-    # 1. bucket the source and find touched buckets (tiny collect: <= N ints)
+def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, key_cols,
+                       tombstones=False, touched_buckets=None):
+    # 1. bucket the source and find touched buckets — from the caller when
+    #    known (zero jobs), else a tiny distinct-collect probe (<= N ints)
     src = winners.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
-    touched = sorted(r["_b"] for r in src.select("_b").distinct().collect())
+    if touched_buckets is not None:
+        touched = sorted(touched_buckets)
+    else:
+        touched = sorted(r["_b"] for r in src.select("_b").distinct().collect())
     if not touched:
         return (
             table._commit(snap.files, snap.schema, "merge-noop", properties or {}, parent=snap),

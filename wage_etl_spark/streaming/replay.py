@@ -241,6 +241,19 @@ def apply_epoch(
         F.substring(F.concat_ws(";", "_violations"), 1, REASON_MAX_LEN).alias("rejection_reason"),
         F.current_timestamp().alias("reject_timestamp"),
     )
+    # the merge learns the winners' touched-bucket set from an Observation
+    # on this same write job — no per-epoch probe job over the staged files
+    tsnap = target.snapshot()
+    obs_buckets = Observation()
+    routed = routed.observe(
+        obs_buckets,
+        F.collect_set(
+            F.when(
+                F.col("_route") == "stage",
+                bucket_expr(tsnap.key_cols, tsnap.num_buckets),
+            )
+        ).alias("touched"),
+    )
     epoch_tmp = os.path.join(cfg.warehouse, "_epoch_tmp", _uuid.uuid4().hex)
     try:
         _mark("plan")
@@ -265,10 +278,12 @@ def apply_epoch(
         )
         _mark("dlq")
 
-        # MERGE: consume the staged winners (already deduped and tiny)
+        # MERGE: consume the staged winners (already deduped and tiny);
+        # touched buckets come from the route job's Observation
         stage_dir = os.path.join(epoch_tmp, "_route=stage")
         merge_cols = [*payload_cols, "content_sha256", "epoch", "run_id", "load_timestamp"]
-        if os.path.isdir(stage_dir):
+        touched = sorted(int(b) for b in (obs_buckets.get["touched"] or []))
+        if touched:
             import pyarrow.parquet as _pq
 
             # epoch-sourced row count from footers (no extra Spark job)
@@ -288,7 +303,7 @@ def apply_epoch(
         snap, rows_written, bucket_counts = merge_apply(
             target, staged, ordering_cols=ORDERING_COLS, op_col="op",
             properties={"epoch": str(epoch)}, stage_source=False,
-            tombstones=cfg.keep_tombstones,
+            tombstones=cfg.keep_tombstones, touched_buckets=touched,
         )
         _mark("merge")
     finally:
