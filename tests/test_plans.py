@@ -58,3 +58,24 @@ def test_topk_query_broadcasts_queries_side(spark):
 
 def test_minhash_stays_jvm_side(spark):
     assert_plan(em.q_minhash_signatures(spark, SF), no_row_python=True)
+
+
+def test_ann_ivf_broadcasts_and_no_cartesian(spark):
+    """IVF two-stage ANN: centroids/queries broadcast, no CartesianProduct
+    (the deliberate crossJoin against broadcast centroids plans as a
+    broadcast nested-loop join, never a shuffled cartesian)."""
+    assert_plan(em.q_embedding_ann_ivf(spark, SF), broadcast=True, no_cartesian=True)
+
+
+def test_lsh_verified_broadcasts_candidates(spark):
+    """Near-dup verify stage: candidate pairs broadcast back to the corpus;
+    documents never shuffles; all JVM-side."""
+    r = assert_plan(em.q_lsh_jaccard_verified(spark, SF), broadcast=True, no_cartesian=True)
+    assert not r.has_python_row_udf
+
+
+def test_html_lifecycle_is_arrow_only(spark):
+    """The HTML scan runs in mapInPandas (Arrow); everything downstream is
+    JVM-side Column expressions — no row-at-a-time Python anywhere."""
+    r = assert_plan(em.q_html_extract_lifecycle(spark, SF), no_row_python=True)
+    assert r.has_arrow_udf  # the mapInPandas page parser
