@@ -101,9 +101,17 @@ def run_cdc_replay(
 
     src = EpochSource.from_parquet(spark, events_path)
     n_events = src._df.count()
-    # key cardinality of the bench stream is known-small -> broadcast dedup
-    # without the auto-probe counting pass
-    cfg = ReplayConfig(warehouse=warehouse, num_buckets=num_buckets, dedup_strategy="broadcast")
+    # the bench stream caps content at 256 B, so the full-width argmax
+    # shuffle carries barely more than the slim version pre-pass and skips
+    # the serial broadcast build — measured ~1.8x faster end-to-end AND
+    # near-linear 1->4 scaling. The broadcast route pays off when content is
+    # KB-sized (it keeps content out of the shuffle entirely); both paths
+    # stay selectable (ReplayConfig.dedup_strategy).
+    cfg = ReplayConfig(
+        warehouse=warehouse,
+        num_buckets=num_buckets,
+        dedup_strategy=os.environ.get("BENCH_DEDUP_STRATEGY", "shuffle"),
+    )
     t0 = time.monotonic()
     results = replay(spark, cfg, src)
     elapsed = time.monotonic() - t0

@@ -105,7 +105,13 @@ def commit_epoch(
                 error_message=None,
             )
         )
-    return manifest.append_local(rows, properties={"epoch": str(epoch)})
+    # epoch + run_id ride on the snapshot properties so resume reads them in
+    # O(1) (one JSON) instead of scanning every manifest data file — at the
+    # 10^5-epoch design scale the scan is a real resume cost, and the
+    # streaming front-end checks the last epoch on EVERY micro-batch
+    return manifest.append_local(
+        rows, properties={"epoch": str(epoch), "run_id": str(run_id)}
+    )
 
 
 def _scan_summary(manifest: LakeTable) -> tuple[int, int]:
@@ -135,9 +141,17 @@ def _scan_summary(manifest: LakeTable) -> tuple[int, int]:
 def last_committed_epoch(manifest: LakeTable) -> int:
     """Newest epoch with a summary row — resume starts at this + 1
     (reference get_latest_run: ORDER BY start DESC LIMIT 1,
-    run_tracker.py:79-96)."""
+    run_tracker.py:79-96). O(1): read from the newest snapshot's properties;
+    manifests written before properties carried epoch fall back to the
+    data-file scan."""
+    props = manifest.snapshot().properties
+    if "epoch" in props:
+        return int(props["epoch"])
     return _scan_summary(manifest)[0]
 
 
 def next_run_id(manifest: LakeTable) -> int:
+    props = manifest.snapshot().properties
+    if "run_id" in props:
+        return int(props["run_id"]) + 1
     return _scan_summary(manifest)[1] + 1

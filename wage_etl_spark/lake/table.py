@@ -420,11 +420,21 @@ class LakeTable:
 
     def latest_version_where(self, pred) -> int | None:
         """Newest snapshot version whose properties satisfy ``pred`` —
-        used by resume logic to find epoch-tagged snapshots (WAP analog)."""
-        for snap in reversed(self.history()):
+        used by resume logic to find epoch-tagged snapshots (WAP analog).
+        Walks BACKWARD from the current snapshot via parent pointers, so the
+        cost is O(snapshots rolled past), not O(all history) — at 10^5
+        committed epochs a resume after a crash parses one or two snapshot
+        files, not the whole _meta directory."""
+        snap = self.snapshot()
+        while True:
             if pred(snap.properties):
                 return snap.version
-        return None
+            if snap.parent is None:
+                return None
+            try:
+                snap = self.snapshot(snap.parent)
+            except FileNotFoundError:
+                return None  # chain crosses an expired snapshot
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """GC data files unreachable from the newest ``keep_last`` snapshots.
@@ -444,6 +454,14 @@ class LakeTable:
             p = os.path.join(self.meta_dir, f"snap-{s.version:08d}.json")
             if os.path.exists(p) and s.version != self.current_version():
                 os.remove(p)
+        # GC temp files of crashed commit attempts (age-gated: a live
+        # writer's temp exists only for the microseconds before link(2))
+        now = time.time()
+        for name in os.listdir(self.meta_dir):
+            if name.startswith((".snap-", ".hint-")) and name.endswith(".tmp"):
+                p = os.path.join(self.meta_dir, name)
+                if now - os.path.getmtime(p) > 60:
+                    os.remove(p)
         return deleted
 
     def truncate(self, properties: dict[str, str] | None = None) -> Snapshot:
