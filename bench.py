@@ -58,8 +58,8 @@ SCALING_LEVELS = [
     int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "1,4,16").split(",")
 ]
 # iterations per child invocation x interleaved rounds = iters per level
-SCALING_ITERS = int(os.environ.get("BENCH_SCALING_ITERS", "1"))
-SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "4"))
+SCALING_ITERS = int(os.environ.get("BENCH_SCALING_ITERS", "2"))
+SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
 # bench stream profile: content capped so the benchmark exercises the
 # engine (validate/dedup/merge) rather than raw byte shoveling
 CONTENT_MAX = int(os.environ.get("BENCH_CONTENT_MAX", "256"))
