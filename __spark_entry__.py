@@ -610,10 +610,14 @@ _TOKENS = "regexp_split_to_array(trim({c}), '\\s+')"
 
 
 def _shingles_of(col: str) -> str:
+    # blank/whitespace-only docs yield [] (no shingles), mirroring the Spark
+    # side's ws_tokens -> token_shingles behavior (dedupe.py), so blank docs
+    # get no minhash signature rows in EITHER engine
     t = _TOKENS.format(c=col)
     return (
+        f"CASE WHEN trim({col}) = '' THEN []::VARCHAR[] ELSE "
         f"list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 1)), "
-        f"i -> array_to_string(({t})[i:i+2], ' ')))"
+        f"i -> array_to_string(({t})[i:i+2], ' '))) END"
     )
 
 

@@ -57,3 +57,15 @@ def test_logging_setup_idempotent(tmp_path):
     assert len(log3.handlers) == n + 1  # not duplicated
     log3.info("hello structured world")
     assert "hello structured world" in (tmp_path / "etl.log").read_text()
+
+
+def test_logging_setup_relative_path_not_duplicated(tmp_path, monkeypatch):
+    """ADVICE r2: baseFilename is absolute, so a RELATIVE log_file must still
+    dedupe against an existing handler (compare via abspath)."""
+    from wage_etl_spark.logging_setup import setup_logging
+
+    monkeypatch.chdir(tmp_path)
+    log1 = setup_logging("INFO", log_file="rel.log")
+    n = len(log1.handlers)
+    log2 = setup_logging("INFO", log_file="rel.log")
+    assert len(log2.handlers) == n

@@ -101,3 +101,44 @@ def test_merge_empty_source_is_noop(spark, warehouse):
     before = t.snapshot().files
     snap, rows, buckets = merge_apply(t, _src(spark, []), ORDERING_COLS)
     assert rows == 0 and buckets == {} and snap.files == before
+
+
+def test_narrow_numeric_key_buckets_against_table_type(spark, warehouse):
+    """ADVICE r2: xxhash64(int) != xxhash64(long), so winners arriving with a
+    NARROWER numeric key type than the table must be cast up before bucketing
+    or they land in (and prune against) the wrong buckets."""
+    from pyspark.sql.types import StructType
+
+    t = LakeTable.create(
+        spark, f"{warehouse}/num_key",
+        StructType.fromDDL("k long, v string, ver long"), ["k"], num_buckets=8,
+    )
+    merge_apply(
+        t,
+        spark.createDataFrame([(i, f"v{i}", 1) for i in range(50)],
+                              "k long, v string, ver long, op string"
+                              .replace(", op string", "")).withColumn("op", F.lit("I")),
+        ["ver"],
+    )
+    # second epoch arrives with k as INT (narrower) — must still update in place
+    narrow = spark.createDataFrame(
+        [(5, "updated", 2, "U")], "k int, v string, ver long, op string"
+    )
+    merge_apply(t, narrow, ["ver"])
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 50, "narrow-key merge must not duplicate keys into wrong buckets"
+    assert rows[5] == "updated"
+    # bucket purity: every file's rows hash to its bucket under the LONG type
+    from wage_etl_spark.lake.table import bucket_expr
+    snap = t.snapshot()
+    df = t.read().withColumn("_b", bucket_expr(["k"], snap.num_buckets))
+    import os as _os
+    for b, fs in snap.files.items():
+        for f in fs:
+            got = {
+                r["_b"]
+                for r in spark.read.parquet(_os.path.join(t.root, f))
+                .withColumn("_b", bucket_expr(["k"], snap.num_buckets))
+                .select("_b").distinct().collect()
+            }
+            assert got <= {int(b)}, f"bucket {b} file contains foreign keys {got}"

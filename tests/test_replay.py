@@ -183,3 +183,27 @@ def test_reference_state_matches_python_oracle(spark):
 
     oracle_state, *_ = replay_oracle_global([r.asDict() for r in ev.collect()])
     assert got == sha_map(oracle_state)
+
+
+def test_verify_state_null_key_component_matches(spark, warehouse):
+    """ADVICE r2: the full-outer compare joins with eqNullSafe per key column,
+    so a null key component present (and equal) on both sides is MATCHED —
+    not reported as one missing plus one extra."""
+    from wage_etl_spark.lake.table import LakeTable
+    from wage_etl_spark.streaming.replay import TARGET_SCHEMA
+
+    rows = [("r1", None, "a" * 64), ("r1", "p1", "b" * 64)]
+    df = spark.createDataFrame(rows, "repo string, path string, content_sha256 string")
+    target = LakeTable.create(
+        spark, warehouse, TARGET_SCHEMA, key_cols=["repo", "path"], num_buckets=4
+    )
+    target.append(df)
+    ok = verify_state(spark, target, df)
+    assert ok["equal"], {k: ok[k] for k in ("n_missing", "n_extra", "n_mismatched")}
+    # and a sha mismatch on the null-keyed row is reported as a MISMATCH
+    tampered = spark.createDataFrame(
+        [("r1", None, "c" * 64), ("r1", "p1", "b" * 64)],
+        "repo string, path string, content_sha256 string",
+    )
+    bad = verify_state(spark, target, tampered)
+    assert bad["n_mismatched"] == 1 and bad["n_missing"] == 0 and bad["n_extra"] == 0

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import logging
 import logging.handlers
+import os
 
 FORMAT = "%(asctime)s %(levelname)-7s %(name)s %(message)s"
 DATEFMT = "%Y-%m-%dT%H:%M:%S%z"
@@ -34,9 +35,11 @@ def setup_logging(level: str = "INFO", log_file: str | None = None) -> logging.L
         for name in QUIET:
             logging.getLogger(name).setLevel(logging.WARNING)
         _CONFIGURED = True
+    # baseFilename is always absolute — compare against abspath so a
+    # relative log_file doesn't add a duplicate handler on repeat calls
     if log_file and not any(
         isinstance(h, logging.handlers.RotatingFileHandler)
-        and getattr(h, "baseFilename", None) == log_file
+        and getattr(h, "baseFilename", None) == os.path.abspath(log_file)
         for h in root.handlers
     ):
         fh = logging.handlers.RotatingFileHandler(

@@ -40,8 +40,10 @@ def token_shingles(text_col: str, k: int = 3) -> F.Column:
     Built by zipping the token array with its k-1 shifted copies instead of
     a per-index slice+concat_ws transform: higher-order functions are
     interpreted, so per-element work must be minimal — the zip form is ~5x
-    faster at corpus scale with bit-identical output (incl. the short-doc
-    case: docs with n < k yield one truncated shingle)."""
+    faster at corpus scale with identical output for the short-doc case
+    (0 < n < k yields one truncated shingle). Blank docs (n = 0, ws_tokens
+    returns []) yield [] — no shingles, hence no minhash signature rows —
+    and the DuckDB oracle mirrors this (__spark_entry__._shingles_of)."""
     toks = ws_tokens(text_col)
     n = F.size(toks)
     acc = toks

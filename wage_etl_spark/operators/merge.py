@@ -86,6 +86,16 @@ def merge_apply(
 
 def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, key_cols,
                        tombstones=False, touched_buckets=None):
+    # 0. key columns must be hashed at the TABLE's key types: xxhash64(int)
+    #    != xxhash64(long), so a numeric key arriving narrower than the
+    #    snapshot type (legal since type widening landed) would bucket
+    #    against the wrong buckets and break bucket purity. Cast up first —
+    #    a no-op when types already match (the engine's keys are strings).
+    snap_types = {f.name: f.dataType for f in snap.schema.fields}
+    for k in key_cols:
+        if k in snap_types and winners.schema[k].dataType != snap_types[k]:
+            winners = winners.withColumn(k, F.col(k).cast(snap_types[k]))
+
     # 1. bucket the source and find touched buckets — from the caller when
     #    known (zero jobs), else a tiny distinct-collect probe (<= N ints)
     src = winners.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))

@@ -406,7 +406,19 @@ def verify_state(
             "repo string, path string, _o_sha string",
         ).withColumn("_in_o", F.lit(True))
 
-    joined = eng.join(odf, KEY_COLS, "full_outer")
+    # eqNullSafe per key column (a plain equality join would report a
+    # null-keyed row as one missing + one extra instead of matched); the
+    # key columns are coalesced back to single output columns afterwards
+    eng = eng.alias("e")
+    odf = odf.alias("o")
+    cond = None
+    for k in KEY_COLS:
+        c = F.col(f"e.{k}").eqNullSafe(F.col(f"o.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = eng.join(odf, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"e.{k}"), F.col(f"o.{k}")).alias(k) for k in KEY_COLS],
+        "_e_sha", "_in_e", "_o_sha", "_in_o",
+    )
     is_missing = F.col("_in_e").isNull()
     is_extra = F.col("_in_o").isNull()
     is_mismatch = (
