@@ -22,6 +22,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from wage_etl_spark.functions import text as T
+from wage_etl_spark.operators import reshape as R
 from wage_etl_spark.functions.cleaning import clean_currency, normalize_category_key, slugify, zfill
 from wage_etl_spark.functions.hashing import rolling_fingerprint
 from wage_etl_spark.operators.dedup_lww import dedup_lww
@@ -504,6 +505,122 @@ HTML_PAGE_2 = """
 """
 
 
+# Two-table pages (the reference's real page contract: tables[0] = wages,
+# tables[1] = expenses — wage_scraper.py:60-73 raises below 2 tables).
+HTML_PAGE_EXP_A = """
+<html><body>
+<p>County data. Last updated on February 2, 2025.</p>
+<table class="results_table">
+<thead><tr><th>Category</th><th>1 Adult</th></tr></thead>
+<tbody><tr><td>Living Wage</td><td>$25.00</td></tr></tbody>
+</table>
+<table class="results_table">
+<thead>
+<tr><th></th><th>1 Adult</th><th colspan="2">2 Adults (1 Working)</th></tr>
+<tr><th>Category</th><th></th><th>1 Child</th><th>2 Children</th></tr>
+</thead>
+<tbody>
+<tr><td>Food</td><td>$4,686</td><td>$10,345</td><td>$13,999</td></tr>
+<tr><td>Child Care</td><td>$0</td><td>$8,000</td><td>$16,000</td></tr>
+<tr><td>Housing</td><td>$17,000</td><td>$20,000</td><td>$22,000</td></tr>
+<tr><td>Transportation</td><td>$5,316</td><td>$10,000</td><td>$11,000</td></tr>
+<tr><td>Medical</td><td>$2,522</td><td>$7,000</td><td>$7,500</td></tr>
+<tr><td>Internet &amp; Mobile</td><td>$1,004</td><td>$1,100</td><td>$1,200</td></tr>
+<tr><td>Civic</td><td>$2,500</td><td>$4,000</td><td>$4,600</td></tr>
+<tr><td>Other</td><td>$4,000</td><td>$6,000</td><td>$7,000</td></tr>
+<tr><td>Required annual income after taxes</td><td>$45,000</td><td>$70,000</td><td>$85,000</td></tr>
+<tr><td>Annual Taxes</td><td>$8,000</td><td>$12,000</td><td>$15,000</td></tr>
+<tr><td>Required annual income before taxes</td><td>$53,000</td><td>$82,000</td><td>$100,000</td></tr>
+<tr><td>Broadband</td><td>$10</td><td>$20</td></tr>
+</tbody></table></body></html>
+"""
+HTML_PAGE_EXP_B = """
+<html><body><div>Last updated on March 3, 2024</div>
+<table class="results_table">
+<thead><tr><th>Category</th><th>2 Adults</th></tr></thead>
+<tbody><tr><td>Poverty Wage</td><td>$8.00</td></tr></tbody>
+</table>
+<table class="results_table">
+<thead><tr><th>Category</th><th>2 Adults</th><th>3 Adults (All Working)</th></tr></thead>
+<tbody>
+<tr><td>Health Care</td><td>$3,000</td><td>$4,000</td></tr>
+<tr><td>Food</td><td>$5,000</td><td>bad</td></tr>
+</tbody></table></body></html>
+"""
+
+# expected parse of the SECOND results_table of each fixture page:
+# (page_id, updated_raw, category, adults, working_adults, children, raw)
+EXPENSE_EXPECTED_PARSE = [
+    ("6075", "February 2, 2025", "Food", 1, 1, 0, "$4,686"),
+    ("6075", "February 2, 2025", "Food", 2, 1, 1, "$10,345"),
+    ("6075", "February 2, 2025", "Food", 2, 1, 2, "$13,999"),
+    ("6075", "February 2, 2025", "Child Care", 1, 1, 0, "$0"),
+    ("6075", "February 2, 2025", "Child Care", 2, 1, 1, "$8,000"),
+    ("6075", "February 2, 2025", "Child Care", 2, 1, 2, "$16,000"),
+    ("6075", "February 2, 2025", "Housing", 1, 1, 0, "$17,000"),
+    ("6075", "February 2, 2025", "Housing", 2, 1, 1, "$20,000"),
+    ("6075", "February 2, 2025", "Housing", 2, 1, 2, "$22,000"),
+    ("6075", "February 2, 2025", "Transportation", 1, 1, 0, "$5,316"),
+    ("6075", "February 2, 2025", "Transportation", 2, 1, 1, "$10,000"),
+    ("6075", "February 2, 2025", "Transportation", 2, 1, 2, "$11,000"),
+    ("6075", "February 2, 2025", "Medical", 1, 1, 0, "$2,522"),
+    ("6075", "February 2, 2025", "Medical", 2, 1, 1, "$7,000"),
+    ("6075", "February 2, 2025", "Medical", 2, 1, 2, "$7,500"),
+    ("6075", "February 2, 2025", "Internet & Mobile", 1, 1, 0, "$1,004"),
+    ("6075", "February 2, 2025", "Internet & Mobile", 2, 1, 1, "$1,100"),
+    ("6075", "February 2, 2025", "Internet & Mobile", 2, 1, 2, "$1,200"),
+    ("6075", "February 2, 2025", "Civic", 1, 1, 0, "$2,500"),
+    ("6075", "February 2, 2025", "Civic", 2, 1, 1, "$4,000"),
+    ("6075", "February 2, 2025", "Civic", 2, 1, 2, "$4,600"),
+    ("6075", "February 2, 2025", "Other", 1, 1, 0, "$4,000"),
+    ("6075", "February 2, 2025", "Other", 2, 1, 1, "$6,000"),
+    ("6075", "February 2, 2025", "Other", 2, 1, 2, "$7,000"),
+    ("6075", "February 2, 2025", "Required annual income after taxes", 1, 1, 0, "$45,000"),
+    ("6075", "February 2, 2025", "Required annual income after taxes", 2, 1, 1, "$70,000"),
+    ("6075", "February 2, 2025", "Required annual income after taxes", 2, 1, 2, "$85,000"),
+    ("6075", "February 2, 2025", "Annual Taxes", 1, 1, 0, "$8,000"),
+    ("6075", "February 2, 2025", "Annual Taxes", 2, 1, 1, "$12,000"),
+    ("6075", "February 2, 2025", "Annual Taxes", 2, 1, 2, "$15,000"),
+    ("6075", "February 2, 2025", "Required annual income before taxes", 1, 1, 0, "$53,000"),
+    ("6075", "February 2, 2025", "Required annual income before taxes", 2, 1, 1, "$82,000"),
+    ("6075", "February 2, 2025", "Required annual income before taxes", 2, 1, 2, "$100,000"),
+    ("6075", "February 2, 2025", "Broadband", 1, 1, 0, "$10"),
+    ("6075", "February 2, 2025", "Broadband", 2, 1, 1, "$20"),
+    ("6075", "February 2, 2025", "Broadband", 2, 1, 2, ""),  # ragged row pad
+    ("7", "March 3, 2024", "Health Care", 2, 2, 0, "$3,000"),
+    ("7", "March 3, 2024", "Health Care", None, None, None, "$4,000"),  # unknown family
+    ("7", "March 3, 2024", "Food", 2, 2, 0, "$5,000"),
+    ("7", "March 3, 2024", "Food", None, None, None, "bad"),  # unparseable -> 0.0
+]
+
+
+def q_expense_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The EXPENSES half of the reference's page (wage_scraper.py:60-73
+    requires >=2 results_tables; tables[1] -> normalize_expenses,
+    pandas_ops.py:174-212): multi-table HTML scan with table_idx -> melt ->
+    family broadcast join -> 17-entry CATEGORY_MAP canonicalize incl.
+    aliases (Medical/Health Care -> healthcare, Internet & Mobile ->
+    internet_mobile, derived-income categories) -> currency clean ->
+    annual_amount -> the 11-enum ExpenseRecord gate (models.py:65-87).
+    The oracle encodes the EXPECTED parse of the SECOND table as VALUES and
+    replays the same transform in SQL."""
+    from wage_etl_spark.operators.reshape import normalize_expense_pages
+    from wage_etl_spark.sources.html_table import scan_html_tables
+
+    pages = spark.createDataFrame(
+        [("6075", HTML_PAGE_EXP_A), ("7", HTML_PAGE_EXP_B)],
+        "page_id string, html string",
+    )
+    out = normalize_expense_pages(scan_html_tables(pages, min_tables=2))
+    return out.select(
+        "county_fips", "page_updated_at",
+        F.col("adults").cast("int").alias("adults"),
+        F.col("working_adults").cast("int").alias("working_adults"),
+        F.col("children").cast("int").alias("children"),
+        "expense_category", F.round("annual_amount", 2).alias("annual_amount"), "valid",
+    )
+
+
 def q_html_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's whole extract lifecycle (main.py:32-135) as one plan:
     HTML results-table scan (S3: colspan composite headers, ragged-row
@@ -585,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "html_extract_lifecycle": q_html_extract_lifecycle,
+        "expense_extract_lifecycle": q_expense_extract_lifecycle,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "embedding_ann_ivf": q_embedding_ann_ivf,
     }
@@ -645,6 +763,15 @@ def oracle_sql() -> dict[str, str]:
     html_parse_values = ", ".join(
         "(" + ", ".join(_sqlv(v) for v in row) + ")" for row in HTML_EXPECTED_PARSE
     )
+    expense_parse_values = ", ".join(
+        "(" + ", ".join(_sqlv(v) for v in row) + ")" for row in EXPENSE_EXPECTED_PARSE
+    )
+    # the 17-entry CATEGORY_MAP as a SQL CASE over the normalized key
+    # (reference constants.py:20-44 + normalizers.py:50-72)
+    category_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in R.CATEGORY_MAP.items()
+    )
+    expense_enum = ", ".join(f"'{c}'" for c in R.EXPENSE_CATEGORIES)
 
     return {
         "cdc_lww_state": """
@@ -854,6 +981,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name, c_custkey::BIGINT AS c_custkey, spend, rnk::BIGINT AS rnk
             FROM ranked WHERE rnk <= 2
+        """,
+        "expense_extract_lifecycle": f"""
+            WITH parsed(page_id, updated_raw, category, adults, working_adults, children, raw)
+              AS (VALUES {expense_parse_values}),
+            typed AS (
+              SELECT *,
+                     CASE trim(regexp_replace(lower(category), '[^\\w]+', ' ', 'g'))
+                       {category_case}
+                       ELSE replace(trim(regexp_replace(lower(category), '[^\\w]+', ' ', 'g')), ' ', '_')
+                     END AS expense_category,
+                     round(coalesce(try_cast(trim(regexp_replace(raw, '[\\$,]', '', 'g')) AS DOUBLE), 0.0), 2) AS annual_amount
+              FROM parsed
+            )
+            SELECT lpad(page_id, 5, '0') AS county_fips,
+                   strptime(updated_raw, '%B %d, %Y')::DATE AS page_updated_at,
+                   adults::INT AS adults, working_adults::INT AS working_adults,
+                   children::INT AS children, expense_category, annual_amount,
+                   coalesce(adults IN (1, 2) AND working_adults >= 1
+                            AND working_adults <= adults AND children BETWEEN 0 AND 3
+                            AND expense_category IN ({expense_enum})
+                            AND annual_amount >= 0, false) AS valid
+            FROM typed
         """,
         "html_extract_lifecycle": f"""
             WITH parsed(page_id, updated_raw, category, adults, working_adults, children, raw)

@@ -57,7 +57,10 @@ def test_scan_html_tables_distributed(spark):
     pages = spark.createDataFrame([("34001", HTML), ("34003", HTML)], "page_id string, html string")
     out = scan_html_tables(pages)
     assert out.count() == 4
-    assert set(out.columns) == {"page_id", "category", "values", "page_updated_raw"}
+    assert set(out.columns) == {
+        "page_id", "table_idx", "category", "values", "page_updated_raw"
+    }
+    assert {r["table_idx"] for r in out.collect()} == {0}
 
 
 def test_full_reference_lifecycle_html_to_upsert(spark, warehouse):
@@ -125,3 +128,65 @@ def test_csv_sink_and_truncate(spark, warehouse, tmp_path):
     assert t.read().count() == 0
     # time travel still sees the data
     assert t.read(version=2).count() == 2
+
+
+# two-table page: wages (idx 0) + expenses (idx 1), reference contract
+HTML_TWO_TABLES = """
+<html><body>
+<p>Last updated on January 15, 2025.</p>
+<table class="results_table">
+<thead><tr><th>Category</th><th>1 Adult</th></tr></thead>
+<tbody><tr><td>Living Wage</td><td>$18.71</td></tr></tbody>
+</table>
+<table class="results_table">
+<thead><tr><th>Category</th><th>1 Adult</th><th>2 Adults</th></tr></thead>
+<tbody>
+<tr><td>Food</td><td>$4,686</td><td>$8,000</td></tr>
+<tr><td>Medical Care</td><td>$2,522</td><td>$5,000</td></tr>
+</tbody></table></body></html>
+"""
+
+
+def test_parse_all_results_tables_with_index():
+    """The reference parses BOTH results_tables per page (wage_scraper.py:
+    60-73): tables[0] = wages, tables[1] = expenses."""
+    rows = parse_results_page("06075", HTML_TWO_TABLES)
+    by_idx = {}
+    for r in rows:
+        by_idx.setdefault(r["table_idx"], []).append(r)
+    assert set(by_idx) == {0, 1}
+    assert [r["category"] for r in by_idx[0]] == ["Living Wage"]
+    assert [r["category"] for r in by_idx[1]] == ["Food", "Medical Care"]
+    assert by_idx[1][0]["values"]["2 Adults"] == "$8,000"
+
+
+def test_min_tables_contract_raises():
+    """Strict mode mirrors the reference's >=2-table page contract
+    (wage_scraper.py:64-66)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 2 tables"):
+        parse_results_page("34001", HTML, min_tables=2)
+    # two-table page passes the same contract
+    assert parse_results_page("06075", HTML_TWO_TABLES, min_tables=2)
+
+
+def test_expense_lifecycle_distributed(spark):
+    """scan -> normalize_expense_pages: aliases map (Medical Care ->
+    healthcare), annual_amount cleaned, ExpenseRecord gate applied."""
+    from wage_etl_spark.operators.reshape import normalize_expense_pages
+
+    pages = spark.createDataFrame(
+        [("6075", HTML_TWO_TABLES)], "page_id string, html string"
+    )
+    out = normalize_expense_pages(scan_html_tables(pages, min_tables=2))
+    rows = {
+        (r["expense_category"], r["adults"], r["working_adults"]): r
+        for r in out.collect()
+    }
+    assert len(rows) == 4
+    r = rows[("healthcare", 1, 1)]
+    assert r["annual_amount"] == 2522.0 and r["valid"]
+    assert r["county_fips"] == "06075"
+    assert str(r["page_updated_at"]) == "2025-01-15"
+    assert rows[("food", 2, 2)]["annual_amount"] == 8000.0

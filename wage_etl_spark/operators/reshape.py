@@ -1,11 +1,15 @@
 """Reshaping: the reference's melt/unpivot (wide -> long) and its
-map-lookup "joins" as broadcast dimension joins.
+map-lookup "joins" as broadcast dimension joins — for BOTH halves of the
+reference's page (wages table and expenses table).
 
 Reference: `df.melt(id_vars, value_vars, 'family', 'value')` is THE reshape
 of Wage-ETL (/root/reference/src/transform/pandas_ops.py:124-132, docs
 src/transform/README.md:125); the family-config and category lookups are
 12/17-entry dict lookups applied columnwise
-(/root/reference/src/transform/normalizers.py:36-72, constants.py:5-44).
+(/root/reference/src/transform/normalizers.py:36-72, constants.py:5-44);
+``normalize_wages`` and ``normalize_expenses`` are the same melt+lookup
+pipeline differing only in the value column name and the record model
+(pandas_ops.py:135-212, models.py:28-87).
 
 Spark-first mapping: built-in ``DataFrame.unpivot`` (no UDTF needed) and
 ``broadcast()`` hash joins against literal dimension frames — at scale the
@@ -14,11 +18,12 @@ dimension side never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
 from wage_etl_spark.functions.cleaning import (
-    clean_currency, normalize_header, parse_updated_date, slugify, zfill,
+    clean_currency, normalize_category_key, normalize_header,
+    parse_updated_date, slugify, zfill,
 )
 
 # 12-entry family-config dimension (reference constants.py:5-18)
@@ -37,8 +42,42 @@ FAMILY_CONFIGS = [
     ("2 adults 3 children", 2, 2, 3),
 ]
 
-# canonical wage categories (reference models.py:54)
+# the FULL 17-entry category map (reference constants.py:20-44): wage
+# categories, expense categories with aliases, derived-income categories.
+# Keys are in normalize_category_key form (lower, non-word runs -> space).
+CATEGORY_MAP = {
+    # wage categories
+    "living wage": "living",
+    "poverty wage": "poverty",
+    "minimum wage": "minimum",
+    # expense categories (incl. aliases)
+    "food": "food",
+    "child care": "childcare",
+    "childcare": "childcare",
+    "housing": "housing",
+    "transportation": "transportation",
+    "medical": "healthcare",
+    "medical care": "healthcare",
+    "health care": "healthcare",
+    "other": "other",
+    "civic": "civic",
+    "internet mobile": "internet_mobile",
+    # derived income categories
+    "required annual income after taxes": "required_after_tax",
+    "annual taxes": "annual_taxes",
+    "required annual income before taxes": "required_before_tax",
+}
+
+# canonical wage categories (reference models.py:54, WageRecord Literal)
 WAGE_TYPES = {"living wage": "living", "poverty wage": "poverty", "minimum wage": "minimum"}
+
+# canonical expense categories (reference models.py:66-78, ExpenseRecord
+# Literal — the 11-value enum gate)
+EXPENSE_CATEGORIES = [
+    "food", "childcare", "housing", "transportation", "healthcare", "other",
+    "civic", "internet_mobile", "required_after_tax", "annual_taxes",
+    "required_before_tax",
+]
 
 
 def melt(
@@ -63,6 +102,50 @@ def family_config_dim(spark) -> DataFrame:
     )
 
 
+def canonical_category(col: Column | str) -> Column:
+    """Category text -> canonical value via the 17-entry CATEGORY_MAP with
+    slug fallback for unknown categories (reference
+    normalize_category_column, pandas_ops.py:92-105 + normalizers.py:62-72).
+    A literal map expression — folded by Catalyst, never a shuffle."""
+    cmap = F.create_map(*[F.lit(x) for kv in CATEGORY_MAP.items() for x in kv])
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(cmap[normalize_category_key(c)], slugify(c))
+
+
+def base_record_valid() -> Column:
+    """The reference's BaseRecord field validators as one explicit predicate
+    (models.py:28-50): adults in {1,2} (V2), 1 <= working_adults <= adults
+    (V3, the cross-field rule), 0 <= children <= 3 (V4). Spelled rule by
+    rule — NOT derived from family-dim membership — so a future dim edit
+    cannot silently widen acceptance."""
+    return (
+        F.col("adults").isin(1, 2)
+        & (F.col("working_adults") >= 1)
+        & (F.col("working_adults") <= F.col("adults"))
+        & F.col("children").between(0, 3)
+    )
+
+
+def wage_record_valid(wage_type: Column, hourly_wage: Column) -> Column:
+    """WageRecord gate (models.py:53-63): base rules + canonical wage_type
+    enum + non-negative hourly_wage."""
+    return (
+        base_record_valid()
+        & wage_type.isin(*sorted(set(WAGE_TYPES.values())))
+        & (hourly_wage >= 0)
+    )
+
+
+def expense_record_valid(expense_category: Column, annual_amount: Column) -> Column:
+    """ExpenseRecord gate (models.py:65-87): base rules + 11-value category
+    enum + non-negative annual_amount."""
+    return (
+        base_record_valid()
+        & expense_category.isin(*EXPENSE_CATEGORIES)
+        & (annual_amount >= 0)
+    )
+
+
 def normalize_wages_wide(
     wide: DataFrame, county_fips: str, page_updated_at: str
 ) -> DataFrame:
@@ -80,44 +163,52 @@ def normalize_wages_wide(
     long = long.withColumn("family", normalize_header("family_raw")).join(
         broadcast(dim), "family", "left"
     )
-    wage_map = F.create_map(*[F.lit(x) for kv in WAGE_TYPES.items() for x in kv])
     return long.select(
         F.lit(county_fips).alias("county_fips"),
         F.to_date(F.lit(page_updated_at)).alias("page_updated_at"),
         F.col("adults"),
         F.col("working_adults"),
         F.col("children"),
-        F.coalesce(
-            wage_map[F.lower(F.col("category"))], slugify(F.col("category"))
-        ).alias("wage_type"),
+        canonical_category(F.col("category")).alias("wage_type"),
         clean_currency("raw_value").alias("hourly_wage"),
     )
 
 
-def normalize_scanned_pages(scanned: DataFrame) -> DataFrame:
-    """The full extract lifecycle after the HTML scan, fully distributed
-    (no per-page driver loop): scan_html_tables output (page_id, category,
-    values map, page_updated_raw) -> explode the map (the melt, U2) ->
-    header normalize + broadcast family-dim join (F2, J1) -> category
-    canonicalize with slug fallback (J2, F3, F4) -> currency clean (F1) ->
-    key zero-pad (F5) + page-date parse (F6). Mirrors the reference's
-    per-page loop main.py:65-103 as one Spark plan over all pages.
-
-    ``valid`` marks rows passing the model gate (known family config +
-    canonical wage category — reference models.py:28-54)."""
+def _normalized_long(scanned: DataFrame, table_idx: int) -> DataFrame:
+    """Shared front half of both lifecycles: pick one results_table position,
+    explode the values map (the melt, U2), header-normalize + broadcast
+    family-dim join (F2, J1)."""
     spark = scanned.sparkSession
-    dim = family_config_dim(spark)
-    long = scanned.select(
+    picked = (
+        scanned.filter(F.col("table_idx") == table_idx)
+        if "table_idx" in scanned.columns
+        else scanned
+    )
+    long = picked.select(
         "page_id",
         "category",
         "page_updated_raw",
         F.explode("values").alias("family_raw", "raw_value"),
     )
-    long = long.withColumn("family", normalize_header("family_raw")).join(
-        broadcast(dim), "family", "left"
+    return long.withColumn("family", normalize_header("family_raw")).join(
+        broadcast(family_config_dim(spark)), "family", "left"
     )
-    wage_map = F.create_map(*[F.lit(x) for kv in WAGE_TYPES.items() for x in kv])
-    wage_type = F.coalesce(wage_map[F.lower(F.col("category"))], slugify(F.col("category")))
+
+
+def normalize_scanned_pages(scanned: DataFrame) -> DataFrame:
+    """The WAGES half of the extract lifecycle after the HTML scan, fully
+    distributed (no per-page driver loop): scan_html_tables output ->
+    table_idx 0 (the reference's ``tables[0]`` = wages_data,
+    wage_scraper.py:68) -> melt -> family join -> category canonicalize with
+    slug fallback (J2/F3/F4) -> currency clean (F1) -> key zero-pad (F5) +
+    page-date parse (F6). Mirrors the reference's per-page loop
+    main.py:65-103 as one Spark plan over all pages.
+
+    ``valid`` is the explicit WageRecord gate (models.py:28-63) rule by
+    rule — see wage_record_valid."""
+    long = _normalized_long(scanned, 0)
+    wage_type = canonical_category(F.col("category"))
+    hourly_wage = clean_currency("raw_value")
     return long.select(
         zfill("page_id", 5).alias("county_fips"),
         parse_updated_date("page_updated_raw").alias("page_updated_at"),
@@ -125,9 +216,31 @@ def normalize_scanned_pages(scanned: DataFrame) -> DataFrame:
         F.col("working_adults"),
         F.col("children"),
         wage_type.alias("wage_type"),
-        clean_currency("raw_value").alias("hourly_wage"),
-        (
-            F.col("adults").isNotNull()
-            & wage_type.isin(*sorted(set(WAGE_TYPES.values())))
+        hourly_wage.alias("hourly_wage"),
+        F.coalesce(
+            wage_record_valid(wage_type, hourly_wage), F.lit(False)
+        ).alias("valid"),
+    )
+
+
+def normalize_expense_pages(scanned: DataFrame) -> DataFrame:
+    """The EXPENSES half: same lifecycle over the page's SECOND results_table
+    (the reference's ``tables[1]`` = expenses_data, wage_scraper.py:69 and
+    normalize_expenses, pandas_ops.py:174-212) — value column is
+    ``annual_amount`` and the gate is the 11-category ExpenseRecord enum
+    (models.py:65-87)."""
+    long = _normalized_long(scanned, 1)
+    category = canonical_category(F.col("category"))
+    annual_amount = clean_currency("raw_value")
+    return long.select(
+        zfill("page_id", 5).alias("county_fips"),
+        parse_updated_date("page_updated_raw").alias("page_updated_at"),
+        F.col("adults"),
+        F.col("working_adults"),
+        F.col("children"),
+        category.alias("expense_category"),
+        annual_amount.alias("annual_amount"),
+        F.coalesce(
+            expense_record_valid(category, annual_amount), F.lit(False)
         ).alias("valid"),
     )

@@ -1,16 +1,20 @@
 """HTML results-table scan — the reference's extract layer (S3), distributed.
 
-Parses the reference's wage-table shape (/root/reference/src/extract/
-wage_scraper.py:60-166): a ``table.results_table`` with a 2-row ``thead``
-whose first row uses colspan (composite headers = "top sub"), a ``tbody`` of
-data rows, ragged rows padded/truncated to the header width, and a
+Parses the reference's page shape (/root/reference/src/extract/
+wage_scraper.py:60-166): EVERY ``table.results_table`` on the page — the
+reference's ``_parse_page`` requires at least two (``tables[0]`` = wages,
+``tables[1]`` = expenses, wage_scraper.py:60-73) — each with a thead whose
+first row may use colspan (composite headers = "top sub"), a tbody of data
+rows, ragged rows padded/truncated to the header width, and a
 "Last updated on Month D, YYYY" stamp in the page text.
 
 Spark mapping: pages arrive as a DataFrame of (page_id, html). Parsing runs
 in ``mapInPandas`` (one Arrow batch of pages in, long rows out) with a fixed
-output schema — the *dynamic* wide schema becomes a ``values`` MAP column, so
-downstream melt/normalize is schema-stable regardless of which family-config
-columns a page carries. Pure stdlib ``html.parser`` (no bs4 in this sandbox).
+output schema — the *dynamic* wide schema becomes a ``values`` MAP column and
+the table position becomes ``table_idx`` (0 = wages, 1 = expenses, by the
+reference's convention), so downstream melt/normalize is schema-stable
+regardless of which family-config columns a page carries. Pure stdlib
+``html.parser`` (no bs4 in this sandbox).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from html.parser import HTMLParser
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    MapType, StringType, StructField, StructType,
+    IntegerType, MapType, StringType, StructField, StructType,
 )
 
 UPDATED_RE = re.compile(r"([A-Z][a-z]+ \d{1,2}, \d{4})")
@@ -30,6 +34,7 @@ UPDATED_RE = re.compile(r"([A-Z][a-z]+ \d{1,2}, \d{4})")
 ROW_SCHEMA = StructType(
     [
         StructField("page_id", StringType()),
+        StructField("table_idx", IntegerType()),
         StructField("category", StringType()),
         StructField("values", MapType(StringType(), StringType())),
         StructField("page_updated_raw", StringType()),
@@ -38,26 +43,27 @@ ROW_SCHEMA = StructType(
 
 
 class _TableParser(HTMLParser):
-    """Collects thead (2 rows, colspan-aware) + tbody rows of the first
-    table whose class contains ``results_table``."""
+    """Collects thead (colspan-aware) + tbody rows of EVERY table whose class
+    contains ``results_table`` (reference ``find_all``, wage_scraper.py:62);
+    decoy tables with other classes are skipped."""
 
     def __init__(self) -> None:
         super().__init__()
         self.in_table = False
-        self.done = False
         self.section = None  # 'thead' | 'tbody'
         self.row: list[str] | None = None
         self.cell: list[str] | None = None
         self.cell_span = 1
-        self.head_rows: list[list[tuple[str, int]]] = []
-        self.body_rows: list[list[str]] = []
+        # one (head_rows, body_rows) pair per results_table, in page order
+        self.tables: list[tuple[list[list[tuple[str, int]]], list[list[str]]]] = []
         self.text_chunks: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
-        if tag == "table" and not self.done:
+        if tag == "table" and not self.in_table:
             if "results_table" in (a.get("class") or ""):
                 self.in_table = True
+                self.tables.append(([], []))
         if not self.in_table:
             return
         if tag in ("thead", "tbody"):
@@ -76,14 +82,15 @@ class _TableParser(HTMLParser):
             self.row.append((text, self.cell_span))
             self.cell = None
         elif tag == "tr" and self.row is not None:
+            head_rows, body_rows = self.tables[-1]
             if self.section == "thead":
-                self.head_rows.append(list(self.row))
+                head_rows.append(list(self.row))
             elif self.section == "tbody":
-                self.body_rows.append([t for t, _ in self.row])
+                body_rows.append([t for t, _ in self.row])
             self.row = None
         elif tag == "table" and self.in_table:
             self.in_table = False
-            self.done = True
+            self.section = None
 
     def handle_data(self, data):
         if self.cell is not None:
@@ -115,47 +122,67 @@ def composite_headers(head_rows: list[list[tuple[str, int]]]) -> list[str]:
     return headers
 
 
-def parse_results_page(page_id: str, html: str) -> list[dict]:
-    """One page -> long records (category, {header: value}) + updated stamp.
-    Ragged rows are padded with '' / truncated to the header width
-    (PERMISSIVE-mode analog of wage_scraper.py:102-111)."""
+def parse_results_page(page_id: str, html: str, min_tables: int = 0) -> list[dict]:
+    """One page -> long records (table_idx, category, {header: value}) +
+    updated stamp, covering ALL results_tables in page order. Ragged rows
+    are padded with '' / truncated to the header width (PERMISSIVE-mode
+    analog of wage_scraper.py:102-111).
+
+    ``min_tables`` > 0 mirrors the reference's strict contract
+    (wage_scraper.py:64-66 raises when fewer than 2 results_tables exist);
+    the default 0 is the permissive distributed mode — a malformed page
+    yields fewer rows instead of failing the whole Spark task."""
     p = _TableParser()
     p.feed(html)
-    headers = composite_headers(p.head_rows)
+    if len(p.tables) < min_tables:
+        raise ValueError(
+            f"Expected at least {min_tables} tables, found {len(p.tables)}"
+        )
     m = UPDATED_RE.search(" ".join(p.text_chunks))
     updated = m.group(1) if m else None
     out = []
-    for row in p.body_rows:
-        if not row:
-            continue
-        cells = list(row)
-        width = len(headers)
-        if len(cells) < width:
-            cells += [""] * (width - len(cells))
-        cells = cells[:width]
-        category = cells[0]
-        values = {h: v for h, v in zip(headers[1:], cells[1:])}
-        out.append(
-            {
-                "page_id": page_id,
-                "category": category,
-                "values": values,
-                "page_updated_raw": updated,
-            }
-        )
+    for table_idx, (head_rows, body_rows) in enumerate(p.tables):
+        headers = composite_headers(head_rows)
+        for row in body_rows:
+            if not row:
+                continue
+            cells = list(row)
+            width = len(headers)
+            if len(cells) < width:
+                cells += [""] * (width - len(cells))
+            cells = cells[:width]
+            category = cells[0]
+            values = {h: v for h, v in zip(headers[1:], cells[1:])}
+            out.append(
+                {
+                    "page_id": page_id,
+                    "table_idx": table_idx,
+                    "category": category,
+                    "values": values,
+                    "page_updated_raw": updated,
+                }
+            )
     return out
 
 
-def scan_html_tables(pages: DataFrame, id_col: str = "page_id", html_col: str = "html") -> DataFrame:
-    """Distributed scan: DataFrame[(page_id, html)] -> ROW_SCHEMA rows."""
+def scan_html_tables(
+    pages: DataFrame,
+    id_col: str = "page_id",
+    html_col: str = "html",
+    min_tables: int = 0,
+) -> DataFrame:
+    """Distributed scan: DataFrame[(page_id, html)] -> ROW_SCHEMA rows, one
+    per (results_table, body row). ``min_tables=2`` enforces the reference's
+    wages+expenses page contract inside the scan."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for pid, html in zip(pdf[id_col], pdf[html_col]):
-                rows.extend(parse_results_page(str(pid), html))
+                rows.extend(parse_results_page(str(pid), html, min_tables=min_tables))
             yield pd.DataFrame(
-                rows, columns=["page_id", "category", "values", "page_updated_raw"]
+                rows,
+                columns=["page_id", "table_idx", "category", "values", "page_updated_raw"],
             )
 
     return pages.mapInPandas(_parse, ROW_SCHEMA)
