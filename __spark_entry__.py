@@ -399,8 +399,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs. Oracle: per-bit vote sums as plain aggregates
-    in DuckDB, then the same prefix-bucket self-join."""
+    """SimHash near-dup pairs on the DEFAULT (recall-complete) multi-table
+    Manku plan: n_tables = max_hamming + 1 = 13 contiguous-block equi-joins,
+    whose output is EXACTLY the set of pairs within hamming <= 12 — so the
+    oracle is the stronger brute-force all-pairs hamming join (feasible in
+    DuckDB at oracle scale; the Spark plan never goes all-pairs)."""
     from wage_etl_spark.operators.dedupe import simhash_near_dups
 
     d = _t(spark, sf, "documents")
@@ -413,22 +416,16 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 def q_lsh_jaccard_verified(spark: SparkSession, sf: str) -> DataFrame:
     """The full near-dup pipeline: banded-LSH candidate generation -> exact
     k-token-shingle Jaccard verification (never all-pairs; the verify stage
-    touches candidates only). Candidate pairs are broadcast back against the
-    corpus, so the big side never shuffles."""
-    from wage_etl_spark.operators.dedupe import minhash_lsh_pairs, ngram_jaccard
+    touches candidates only). The candidate broadcast is SIZE-GATED
+    (operators/dedupe.lsh_jaccard_verified): pairs are persisted + counted
+    once, broadcast only under the cap, shuffle-join fallback above it."""
+    from wage_etl_spark.operators.dedupe import lsh_jaccard_verified
 
     d = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=8, k=3).select(
-        "id_a", "id_b"
+    out = lsh_jaccard_verified(
+        d, "text", "doc_id", num_hashes=16, bands=8, k=3, min_jaccard=0.5
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    # candidates are LSH-bounded (tiny vs corpus): broadcast them through
-    # both text-attach joins so documents is never shuffled
-    j = a.join(broadcast(pairs), "id_a")
-    j = b.join(broadcast(j), "id_b")
-    out = ngram_jaccard(j, "text_a", "text_b", k=3)
-    return out.filter(F.col("jaccard") >= 0.5).select(
+    return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.round("jaccard", 4).alias("jaccard"),
@@ -1050,9 +1047,11 @@ def oracle_sql() -> dict[str, str]:
                    round(max(jaccard_est), 4) AS jaccard_est
             FROM pairs GROUP BY 1, 2
         """,
-        # Mirrors operators/dedupe.py:simhash_near_dups (60-bit simhash,
-        # prefix_bits=16, max_hamming=12): the per-bit vote sum is a plain
-        # aggregate; bucket = top 16 bits; hamming via bit_count(xor).
+        # Oracle for operators/dedupe.py:simhash_near_dups on the DEFAULT
+        # multi-table plan (n_tables = max_hamming + 1 = 13): by pigeonhole
+        # its output is EXACTLY all pairs with hamming <= 12, so the oracle
+        # is brute-force all-pairs — strictly stronger than replaying the
+        # bucketing (it would catch a recall bug in the block scheme).
         "simhash_near_dups": f"""
             WITH h AS (
               SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
@@ -1067,8 +1066,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
                    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-            FROM sim a JOIN sim b
-              ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
         """,
         # LSH candidates (same CTEs as minhash_lsh_pairs) -> exact shingle

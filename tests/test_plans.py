@@ -74,6 +74,44 @@ def test_lsh_verified_broadcasts_candidates(spark):
     assert not r.has_python_row_udf
 
 
+def test_lsh_verified_size_gate_falls_back_to_shuffle_join(spark):
+    """VERDICT r2 #3: above the broadcast cap the verify stage must NOT
+    force-broadcast the candidate set — the static plan degrades to a
+    shuffle join (no explicit broadcast hint on the pair joins) so an
+    unbounded candidate set can't OOM the driver. Hash parity is covered by
+    test_queries (the gate changes only the join strategy, not results)."""
+    from wage_etl_spark.operators.dedupe import lsh_jaccard_verified
+    from wage_etl_spark.plans.lint import _pre_aqe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # disable size-based auto-broadcast so the ONLY way a broadcast can
+    # appear is a forced hint — which is exactly what the gate must drop
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the gate governs the two text-attach joins (keys id_a / id_b);
+        # scope assertions to those lines — the LSH band join below the
+        # cache boundary may retain whatever strategy it was first planned
+        # with when its fragment was cached
+        def attach_joins(df):
+            return [
+                ln for ln in _pre_aqe(df).splitlines()
+                if ("Join [id_a#" in ln or "Join [id_b#" in ln)
+            ]
+
+        gated = lsh_jaccard_verified(d, "text", "doc_id", broadcast_max_pairs=0)
+        lines = attach_joins(gated)
+        assert lines and all("SortMergeJoin" in ln for ln in lines), lines
+        # under the cap the hint is forced: broadcast survives threshold=-1
+        hinted = lsh_jaccard_verified(d, "text", "doc_id", broadcast_max_pairs=10**9)
+        hlines = attach_joins(hinted)
+        assert hlines and all("BroadcastHashJoin" in ln for ln in hlines), hlines
+        # identical results either way
+        assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, hinted.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_html_lifecycle_is_arrow_only(spark):
     """The HTML scan runs in mapInPandas (Arrow); everything downstream is
     JVM-side Column expressions — no row-at-a-time Python anywhere."""

@@ -155,17 +155,19 @@ def test_simhash_multi_table_recall_is_total(spark):
     }
     assert brute, "seeded corpus must contain near-dup pairs"
 
+    # the DEFAULT is now the recall-complete multi-table plan (n_tables =
+    # max_hamming + 1): output == brute force exactly
     multi = {
         (r["id_a"], r["id_b"])
-        for r in simhash_near_dups(
-            df, "text", "doc_id", max_hamming=k, n_tables=k + 1
-        ).collect()
+        for r in simhash_near_dups(df, "text", "doc_id", max_hamming=k).collect()
     }
     assert multi == brute  # recall 1.0 AND no false positives post-filter
 
     single = {
         (r["id_a"], r["id_b"])
-        for r in simhash_near_dups(df, "text", "doc_id", max_hamming=k).collect()
+        for r in simhash_near_dups(
+            df, "text", "doc_id", max_hamming=k, n_tables=1
+        ).collect()
     }
-    assert single <= brute  # single table never invents pairs...
+    assert single <= brute  # opt-in single table never invents pairs...
     # ...but its recall is allowed to be (and typically is) partial

@@ -10,6 +10,7 @@ an all-pairs cross join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
 
 from wage_etl_spark.functions.hashing import (
     hamming64,
@@ -161,6 +162,52 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def lsh_jaccard_verified(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    broadcast_max_pairs: int | None = 1_000_000,
+) -> DataFrame:
+    """Full near-dup pipeline: banded-LSH candidates -> exact k-shingle
+    Jaccard on candidates only (never all-pairs).
+
+    The candidate set is persisted and counted ONCE (this also stops the
+    expensive LSH pipeline from being recomputed per downstream join), then
+    the text-attach joins are planned from that count:
+
+    - count <= ``broadcast_max_pairs``: broadcast the pairs through both
+      joins — the corpus never shuffles (the common case; LSH candidates
+      are tiny vs the corpus).
+    - count above the cap (boilerplate-heavy corpora — LSH candidate volume
+      scales with near-dup density, not a constant): NO broadcast hint, so
+      the plan degrades to a shuffle join (AQE may still choose broadcast
+      from runtime stats) instead of a driver/executor OOM from force-
+      broadcasting an unbounded candidate set.
+    - ``broadcast_max_pairs=None`` skips the count and always hints (callers
+      that already know their candidate bound)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k).select(
+        "id_a", "id_b"
+    )
+    hint = broadcast
+    if broadcast_max_pairs is not None:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        if pairs.count() > broadcast_max_pairs:
+            hint = lambda d: d  # noqa: E731 — identity: let the planner/AQE decide
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    j = b.join(hint(a.join(hint(pairs), "id_a")), "id_b")
+    out = ngram_jaccard(j, "text_a", "text_b", k)
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def ngram_jaccard(
     df_pairs: DataFrame, text_a: str, text_b: str, k: int = 3
 ) -> DataFrame:
@@ -203,21 +250,25 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
-    n_tables: int = 1,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs (Manku et al., WWW'07).
 
-    ``n_tables=1`` (default): bucket by the top ``prefix_bits`` bits — the
-    compact single-table plan; pairs whose differing bits all fall in the
-    prefix are missed (recall loss, documented).
+    ``n_tables=None`` (default) uses ``max_hamming + 1`` tables — the
+    recall-COMPLETE Manku shape: split the 60 signature bits into that many
+    contiguous blocks and join on (table_id, block value). By pigeonhole,
+    two signatures within Hamming distance ``n_tables - 1`` agree EXACTLY
+    on at least one block, so the default guarantees recall 1.0 vs brute
+    force — output is exactly the set of pairs with hamming <= max_hamming.
+    Each table is an equi-join on small keys; candidates deduplicate in the
+    final per-pair aggregate. No cross join.
 
-    ``n_tables>1``: split the 60 signature bits into ``n_tables`` contiguous
-    blocks and join on (table_id, block value). By pigeonhole, two
-    signatures within Hamming distance ``n_tables - 1`` agree EXACTLY on at
-    least one block, so ``n_tables = max_hamming + 1`` guarantees recall
-    1.0 vs brute force — the production shape at corpus scale. Each table
-    is an equi-join on small keys; candidates deduplicate in the final
-    per-pair aggregate. No cross join either way."""
+    ``n_tables=1`` is the opt-in fast path: bucket by the top
+    ``prefix_bits`` bits only — one join instead of max_hamming+1, but
+    pairs whose differing bits all fall in the prefix are missed (recall
+    loss, documented)."""
+    if n_tables is None:
+        n_tables = max_hamming + 1
     sh = simhash_signatures(df, text_col, id_col)
     if n_tables <= 1:
         bucketed = sh.withColumn(
