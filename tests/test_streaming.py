@@ -57,3 +57,60 @@ def test_stream_restart_is_noop(spark, tmp_path):
     q2 = start_stream(spark, cfg, stream_events(spark, events_dir, schema), str(tmp_path / "ckpt"))
     q2.awaitTermination(300)
     assert target.current_version() == v1  # nothing re-applied
+
+
+def test_stream_late_lower_version_cannot_resurrect_deleted_key(spark, tmp_path):
+    """VERDICT r2 #7 — adversarial ORDER INVERSION through the streaming
+    front-end specifically: micro-batch 1 carries the high-version DELETE,
+    micro-batch 2 carries stale lower-version I/U for the same key. Because
+    start_stream forces keep_tombstones=True, the delete persists as a
+    tombstone that wins the LWW argmax against the late events — the key
+    must NOT reappear."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    events_dir = str(tmp_path / "events")
+    schema_ddl = (
+        "op string, repo string, path string, commit string, event_seq long, "
+        "lang string, content string"
+    )
+    high, low = "9" * 40, "1" * 40
+    batch1 = spark.createDataFrame(
+        [
+            ("D", "r1", "doomed.py", high, 100, "py", None),
+            ("I", "r1", "keeper.py", high, 101, "py", "keeper v1"),
+        ],
+        schema_ddl,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            ("I", "r1", "doomed.py", low, 1, "py", "stale insert"),
+            ("U", "r1", "doomed.py", low, 2, "py", "stale update"),
+        ],
+        schema_ddl,
+    )
+    # FileStreamSource orders batches by file modification time: write the
+    # delete first, then (later mtime) the stale events
+    batch1.coalesce(1).write.mode("append").parquet(events_dir)
+    time.sleep(1.1)
+    batch2.coalesce(1).write.mode("append").parquet(events_dir)
+
+    cfg = ReplayConfig(warehouse=str(tmp_path / "wh"), num_buckets=4)
+    schema = spark.read.parquet(events_dir).schema
+    q = start_stream(
+        spark, cfg, stream_events(spark, events_dir, schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    target, _, manifest = open_tables(spark, cfg)
+    # two separate micro-batches actually committed (the inversion was real)
+    assert manifest.read().filter("partition_id is null").count() == 2
+    live = {r["path"]: r["content"] for r in target.read().filter(
+        ~F.coalesce(F.col("is_deleted"), F.lit(False))).collect()}
+    assert live == {"keeper.py": "keeper v1"}, "deleted key was resurrected"
+    # the tombstone row is still the winner for the doomed key
+    tomb = target.read().filter(F.col("path") == "doomed.py").collect()
+    assert len(tomb) == 1 and tomb[0]["is_deleted"]
+    assert tomb[0]["commit"] == high
