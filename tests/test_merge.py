@@ -142,3 +142,35 @@ def test_narrow_numeric_key_buckets_against_table_type(spark, warehouse):
                 .select("_b").distinct().collect()
             }
             assert got <= {int(b)}, f"bucket {b} file contains foreign keys {got}"
+
+
+def test_merge_is_single_shuffle(spark, warehouse, monkeypatch):
+    """VERDICT r2 #5: the MERGE write must move rows through exactly ONE
+    exchange — the repartition on the bucket id. The LWW winner resolution
+    is a bucket-local sort (Window.partitionBy(_b) is satisfied by that
+    partitioning), and _write_files writes prepartitioned output without
+    re-shuffling. Counting Exchange nodes is noise-immune proof."""
+    t = make_target(spark, warehouse)
+    merge_apply(t, _src(spark, [
+        (f"r{i}", f"p{i}", "1" * 40, i, "py", f"c{i}", "I") for i in range(100)
+    ]), ORDERING_COLS)
+
+    captured = {}
+    orig = LakeTable._write_files
+
+    def spy(self, df, snap, prepartitioned=False):
+        captured["plan"] = df._jdf.queryExecution().sparkPlan().toString()
+        captured["prepartitioned"] = prepartitioned
+        return orig(self, df, snap, prepartitioned=prepartitioned)
+
+    monkeypatch.setattr(LakeTable, "_write_files", spy)
+    merge_apply(
+        t,
+        _src(spark, [("r5", "p5", "2" * 40, 999, "py", "new", "U")]),
+        ORDERING_COLS,
+        stage_source=False,
+    )
+    assert captured["prepartitioned"] is True
+    n_exchanges = captured["plan"].count("Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{captured['plan']}"
+    assert "Window" in captured["plan"] or "Sort" in captured["plan"]

@@ -207,3 +207,18 @@ def test_verify_state_null_key_component_matches(spark, warehouse):
     )
     bad = verify_state(spark, target, tampered)
     assert bad["n_mismatched"] == 1 and bad["n_missing"] == 0 and bad["n_extra"] == 0
+
+
+def test_defer_strategy_matches_oracle(spark, warehouse):
+    """dedup_strategy='defer': the route job stages every valid event (zero
+    route-side shuffles) and MERGE's bucket-local sort resolves LWW — final
+    state must still equal the per-epoch oracle, including the duplicate-
+    event fixture rows."""
+    ev = synthesize_events(spark, n_events=4000, n_keys=250, n_epochs=3, invalid_frac=0.05)
+    cfg = ReplayConfig(warehouse=warehouse, num_buckets=8, dedup_strategy="defer")
+    replay(spark, cfg, EpochSource(ev))
+    oracle_state, n_valid, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
+    target, dlq, manifest = open_tables(spark, cfg)
+    report = verify_state(spark, target, sha_map(oracle_state))
+    assert report["equal"], {k: report[k] for k in ("n_missing", "n_extra", "n_mismatched")}
+    assert dlq.read().count() == n_quar

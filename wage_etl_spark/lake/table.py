@@ -279,22 +279,30 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
 
-    def _write_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[str]]:
+    def _write_files(
+        self, df: DataFrame, snap: Snapshot, prepartitioned: bool = False
+    ) -> dict[str, list[str]]:
         """Write df bucketed by key into a fresh commit dir; returns the
         bucket -> relative-path map. One parquet file per bucket: the
         repartition below is the only shuffle, and downstream MERGE reads
-        are pruned per bucket."""
+        are pruned per bucket.
+
+        ``prepartitioned=True``: df already carries a correct ``_b`` column
+        AND is hash-partitioned on it (e.g. the single-shuffle MERGE plan) —
+        write directly, adding NO exchange. partitionBy still splits by
+        value, so files stay bucket-pure, one file per bucket."""
         commit_dir = f"{uuid.uuid4().hex}"
         out_path = os.path.join(self.data_dir, commit_dir)
         physical = df
         for old, new in snap.renames.items():
             if new in physical.columns:
                 physical = physical.withColumnRenamed(new, old)
-        physical = physical.withColumn("_b", bucket_expr([
-            {v: k for k, v in snap.renames.items()}.get(c, c) for c in snap.key_cols
-        ], snap.num_buckets))
+        if not prepartitioned:
+            physical = physical.withColumn("_b", bucket_expr([
+                {v: k for k, v in snap.renames.items()}.get(c, c) for c in snap.key_cols
+            ], snap.num_buckets)).repartition(snap.num_buckets, "_b")
         (
-            physical.repartition(snap.num_buckets, "_b")
+            physical
             .write.partitionBy("_b")
             .mode("append")
             .parquet(out_path)

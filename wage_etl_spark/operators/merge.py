@@ -13,17 +13,21 @@ Physical plan (why it scales):
    snapshot untouched — an epoch touching 1% of keys rewrites ~1% of data.
 2. target-side read is pruned to touched buckets' files only (file-level
    pruning, the LakeTable stand-in for Iceberg partition pruning).
-3. the match itself is not a join: target rows and winners are unioned and
-   run through the same LWW argmax as dedup, with ``is_source`` as final
-   tiebreak. One hash aggregate with map-side partials instead of a
-   shuffle-join — and re-applying the same epoch is trivially idempotent
-   (equal versions -> source wins -> identical bytes out).
-4. op='D' winners simply drop out after the argmax: tombstones never persist
-   because each touched bucket is rewritten whole (copy-on-write).
+3. the match itself is not a join: target rows and winners are unioned,
+   repartitioned ONCE on the bucket id, and resolved with a bucket-local
+   sort + lag (tie order identical to the LWW argmax, ``is_source`` as
+   final tiebreak). The write reuses that partitioning — one shuffle end to
+   end where an aggregate-then-repartition plan moves every row twice. Re-
+   applying the same epoch is trivially idempotent (equal versions ->
+   source wins -> identical bytes out).
+4. op='D' winners simply drop out after the winner resolution: tombstones
+   never persist because each touched bucket is rewritten whole
+   (copy-on-write).
 
 MERGE's duplicate-source-key hazard (Iceberg raises on ambiguous matches) is
-structurally impossible here: callers pass ``dedup_lww`` output, and the
-argmax would collapse duplicates anyway.
+structurally impossible here: the bucket-local sort collapses duplicate
+source keys to their LWW winner (callers typically pass ``dedup_lww`` output
+anyway; the ``defer`` replay strategy deliberately does not).
 """
 
 from __future__ import annotations
@@ -33,7 +37,6 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from wage_etl_spark.lake.table import LakeTable, Snapshot, bucket_expr
-from wage_etl_spark.operators.dedup_lww import dedup_lww
 
 
 def merge_apply(
@@ -161,16 +164,42 @@ def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, 
         align(src.drop("_b"), 1, F.col(op_col) if op_col in winners.columns else F.lit("U"))
     )
 
-    # 5. LWW argmax with is_source tiebreak. Without tombstones, deletes
+    # 5. LWW winner with is_source tiebreak — SINGLE-SHUFFLE plan:
+    # repartition the union once on the bucket id, then resolve winners with
+    # a bucket-local sort + lag (Window.partitionBy(_b) is satisfied by the
+    # repartition's HashPartitioning, so Catalyst adds only a local sort,
+    # never a second exchange), and write partitionBy(_b) with NO further
+    # repartition. The old shape (argmax hash aggregate keyed by the table
+    # key, THEN a repartition by bucket in _write_files) moved every merged
+    # row through two full shuffles; this moves it through one.
+    #
+    # Tie semantics are bit-identical to dedup_lww's argmax: the sort ranks
+    # by (ordering..., _is_source) desc then the remaining payload columns
+    # desc — exactly the struct-max comparison order (desc_nulls_last treats
+    # null as smallest, as struct max does). Without tombstones, deletes
     # drop out (copy-on-write rewrites the whole bucket, so the key simply
     # disappears — valid when epochs arrive in version order). With
     # tombstones, the delete persists as an is_deleted row so a LATE lower-
     # version event cannot resurrect the key (required for out-of-order
     # micro-batches; readers filter is_deleted).
-    merged = dedup_lww(
-        unioned,
-        key_cols=key_cols,
-        ordering_cols=[*ordering_cols, "_is_source"],
+    from pyspark.sql.window import Window
+
+    ordering_ext = [*ordering_cols, "_is_source"]
+    payload = [c for c in unioned.columns if c not in key_cols]
+    tail = [c for c in payload if c not in ordering_ext]
+    bucketed = unioned.withColumn(
+        "_b", bucket_expr(key_cols, snap.num_buckets)
+    ).repartition(snap.num_buckets, "_b")
+    w = Window.partitionBy("_b").orderBy(
+        *[F.col(c).asc() for c in key_cols],
+        *[F.col(c).desc() for c in ordering_ext],
+        *[F.col(c).desc() for c in tail],
+    )
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+    merged = (
+        bucketed.withColumn("_keep", ~F.lag(key_struct).over(w).eqNullSafe(key_struct))
+        .filter(F.col("_keep"))
+        .drop("_keep")
     )
     if tombstones:
         result = merged.withColumn("is_deleted", F.col("_op") == "D").drop(
@@ -183,8 +212,9 @@ def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, 
     else:
         result = merged.filter(F.col("_op") != "D").drop("_is_source", "_op")
 
-    # 6. write only touched buckets; splice file map
-    new_files = table._write_files(result, snap)
+    # 6. write only touched buckets; splice file map ("_b" rides through the
+    # write as the partition column — never lands in the file schema)
+    new_files = table._write_files(result, snap, prepartitioned=True)
     spliced = {b: list(fs) for b, fs in snap.files.items() if b not in touched_set}
     for b, fs in new_files.items():
         spliced[b] = fs

@@ -85,6 +85,13 @@ class ReplayConfig:
     #   becomes a broadcast subquery inside the routing job (use when the
     #   per-epoch key cardinality is known to be small).
     # "shuffle": always use the argmax shuffle (the 10^10-key default).
+    # "defer": do NOT dedup in the route job at all — stage every valid
+    #   event and let MERGE's single-shuffle bucket-local sort resolve LWW
+    #   (it dedups per key anyway). The route job becomes a pure
+    #   scan+validate+write with zero shuffles, so each event moves through
+    #   exactly ONE shuffle per epoch (the merge's). Best for low-duplicate
+    #   streams; duplicate-heavy/hot-key epochs should prefer the argmax
+    #   strategies, which collapse duplicates map-side before shuffling.
     dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
@@ -192,7 +199,7 @@ def apply_epoch(
     )
     if cfg.dedup_strategy == "broadcast":
         use_broadcast = True
-    elif cfg.dedup_strategy == "shuffle":
+    elif cfg.dedup_strategy in ("shuffle", "defer"):
         use_broadcast = False
     else:  # auto: pay one slim counting pass to pick the physical strategy
         versions = versions.persist()
@@ -215,6 +222,13 @@ def apply_epoch(
             "_route",
             F.when(is_bad, F.lit("dlq")).when(is_winner, F.lit("stage")),
         ).filter(F.col("_route").isNotNull())
+    elif cfg.dedup_strategy == "defer":
+        # no route-side dedup: stage every valid event; MERGE's bucket-local
+        # sort resolves LWW per key. Route job = scan+validate+write, ZERO
+        # shuffles — each event crosses exactly one shuffle (the merge's).
+        routed_src = tagged.withColumn(
+            "_route", F.when(is_bad, F.lit("dlq")).otherwise(F.lit("stage"))
+        )
     else:
         # 10^10-scale fallback: full argmax shuffle; quarantined rows ride
         # through under a unique synthetic key
