@@ -209,16 +209,50 @@ def test_verify_state_null_key_component_matches(spark, warehouse):
     assert bad["n_mismatched"] == 1 and bad["n_missing"] == 0 and bad["n_extra"] == 0
 
 
-def test_defer_strategy_matches_oracle(spark, warehouse):
-    """dedup_strategy='defer': the route job stages every valid event (zero
-    route-side shuffles) and MERGE's bucket-local sort resolves LWW — final
-    state must still equal the per-epoch oracle, including the duplicate-
-    event fixture rows."""
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["defer", "fused"])
+def test_alternate_strategies_match_oracle(spark, warehouse, strategy):
+    """dedup_strategy='defer' (route stages every valid event, zero route
+    shuffles, MERGE's bucket-local sort resolves LWW) and 'fused' (ONE Spark
+    job per epoch: target state unioned with events, single bucket
+    repartition, file adoption for both DLQ and target) must both equal the
+    per-epoch oracle, including the duplicate-event fixture rows."""
     ev = synthesize_events(spark, n_events=4000, n_keys=250, n_epochs=3, invalid_frac=0.05)
-    cfg = ReplayConfig(warehouse=warehouse, num_buckets=8, dedup_strategy="defer")
+    cfg = ReplayConfig(warehouse=f"{warehouse}/{strategy}", num_buckets=8, dedup_strategy=strategy)
     replay(spark, cfg, EpochSource(ev))
     oracle_state, n_valid, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
     target, dlq, manifest = open_tables(spark, cfg)
     report = verify_state(spark, target, sha_map(oracle_state))
     assert report["equal"], {k: report[k] for k in ("n_missing", "n_extra", "n_mismatched")}
     assert dlq.read().count() == n_quar
+
+
+def test_fused_resume_evolution_and_tombstones(spark, warehouse):
+    """Fused mode under the full protocol: resume from the manifest after a
+    partial replay, schema evolution mid-stream (lang_version appears at
+    epoch 2), and keep_tombstones on — final state still sha256-equals the
+    oracle and the evolved column lands."""
+    from pyspark.sql import functions as F
+
+    ev = synthesize_events(
+        spark, n_events=3000, n_keys=150, n_epochs=4, invalid_frac=0.05,
+        evolve_from_epoch=2,
+    )
+    base = dict(warehouse=warehouse, num_buckets=8, dedup_strategy="fused",
+                keep_tombstones=True)
+    first = replay(spark, ReplayConfig(**base, max_epochs=2), EpochSource(ev))
+    assert [r["epoch"] for r in first] == [0, 1]
+    second = replay(spark, ReplayConfig(**base), EpochSource(ev))
+    assert [r["epoch"] for r in second] == [2, 3]
+
+    oracle_state, n_valid, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
+    target, dlq, manifest = open_tables(spark, ReplayConfig(**base))
+    report = verify_state(spark, target, sha_map(oracle_state))
+    assert report["equal"], {k: report[k] for k in ("n_missing", "n_extra", "n_mismatched")}
+    assert dlq.read().count() == n_quar
+    cols = target.read().columns
+    assert "lang_version" in cols and "is_deleted" in cols
+    # tombstones really persisted (some keys saw a delete as their winner)
+    assert target.read().filter(F.coalesce("is_deleted", F.lit(False))).count() > 0

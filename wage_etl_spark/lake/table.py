@@ -502,6 +502,41 @@ class LakeTable:
         merged.setdefault(bucket, []).extend(rels)
         return self._commit(merged, snap.schema, "append", properties or {}, parent=snap)
 
+    def overwrite_with_files(
+        self,
+        files_by_bucket: dict[str, list[str]],
+        schema: StructType | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Replace the ENTIRE table state with already-written bucket-pure
+        parquet files by moving them in (zero rewrite — the dense-epoch
+        fused-apply sink). ``files_by_bucket`` maps bucket id -> absolute
+        paths of that bucket's files; buckets absent from the map become
+        empty. Files may carry a superset of ``schema`` (reads project the
+        table schema). Old files stay on disk (copy-on-write), so rollback
+        and time travel keep working."""
+        snap = self.snapshot()
+        if snap.renames:
+            raise ValueError(
+                "overwrite_with_files does not support renamed columns "
+                "(files carry current names; physical schema expects originals)"
+            )
+        commit_dir = uuid.uuid4().hex
+        new_files: dict[str, list[str]] = {}
+        for b, paths in files_by_bucket.items():
+            rel_dir = os.path.join("data", commit_dir, f"_b={int(b)}")
+            os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+            rels = []
+            for i, p in enumerate(paths):
+                rel = os.path.join(rel_dir, f"part-{i:05d}.parquet")
+                os.rename(p, os.path.join(self.root, rel))
+                rels.append(rel)
+            new_files[str(int(b))] = rels
+        return self._commit(
+            new_files, schema if schema is not None else snap.schema,
+            "merge", properties or {}, parent=snap,
+        )
+
     def append_local(self, rows: list[dict], properties: dict[str, str] | None = None) -> Snapshot:
         """Append a SMALL batch of rows driver-side via pyarrow — no Spark
         job. Used for the checkpoint manifest (a few rows per epoch); data

@@ -92,6 +92,12 @@ class ReplayConfig:
     #   exactly ONE shuffle per epoch (the merge's). Best for low-duplicate
     #   streams; duplicate-heavy/hot-key epochs should prefer the argmax
     #   strategies, which collapse duplicates map-side before shuffling.
+    # "fused": DENSE-epoch mode — ONE Spark job per epoch: current target
+    #   state ∪ tagged events, one bucket repartition, bucket-local sorted
+    #   LWW, one write partitioned by (route, bucket); DLQ adopts its files
+    #   and the target adopts the stage files as a full copy-on-write state
+    #   replacement. Halves the per-epoch fixed cost; every epoch rewrites
+    #   the whole table, so use when epochs touch most buckets anyway.
     dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
@@ -157,6 +163,8 @@ def apply_epoch(
     Counters come from an ``Observation`` on the scan and from parquet
     footers — counting never re-scans, and nothing is ever read back from
     the DLQ (which grows with every epoch)."""
+    if cfg.dedup_strategy == "fused":
+        return _apply_epoch_fused(spark, cfg, target, dlq, manifest, events, epoch, run_id)
     import shutil
     import uuid as _uuid
 
@@ -339,6 +347,236 @@ def apply_epoch(
         "epoch": epoch, "status": status, "events_in": events_in,
         "valid": n_valid, "quarantined": n_quarantined,
         "rows_written": rows_written, "snapshot": snap.version,
+        "phases": _phase,
+    }
+
+
+def _apply_epoch_fused(
+    spark: SparkSession,
+    cfg: ReplayConfig,
+    target: LakeTable,
+    dlq: LakeTable,
+    manifest: LakeTable,
+    events: DataFrame,
+    epoch: int,
+    run_id: int,
+) -> dict:
+    """DENSE-epoch apply: ONE Spark job per epoch.
+
+    When an epoch touches most buckets anyway (high key cardinality vs
+    bucket count — true for frequent small commit epochs over a hot
+    keyspace), bucket pruning buys nothing and the two-job shape (route
+    write + merge) pays its fixed cost twice. This mode unions the CURRENT
+    target state with the epoch's tagged events, repartitions ONCE on the
+    bucket id, resolves LWW winners with the same bucket-local sort the
+    merge uses, and writes a single output partitioned by (route, bucket):
+    the DLQ adopts its files, the target adopts the stage files as a full
+    copy-on-write state replacement (``overwrite_with_files``). Identical
+    snapshot/manifest exactly-once protocol — old files stay on disk, so
+    rollback and resume are unchanged.
+
+    Trade-off vs the default two-job shape: every epoch rewrites the whole
+    table, so this is for dense epochs (bench multi-epoch profile, small
+    hot tables); sparse epochs over huge tables want the pruned merge."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    from wage_etl_spark.operators.validate import REASON_MAX_LEN, tag_events
+
+    spark_ = events.sparkSession
+    start_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    _t0 = _time.monotonic()
+    _phase = {}
+
+    def _mark(name):
+        nonlocal _t0
+        _phase[name] = round(_time.monotonic() - _t0, 3)
+        _t0 = _time.monotonic()
+
+    snap = target.snapshot()
+    if snap.renames:
+        raise ValueError("fused apply does not support renamed columns")
+    key_cols = snap.key_cols
+
+    tagged = tag_events(events)
+    is_bad = F.size("_violations") > 0
+    obs = Observation()
+    tagged = tagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("events_in"),
+        F.sum(is_bad.cast("long")).alias("n_q"),
+    )
+
+    payload_cols = [c for c in events.columns if c != "epoch"]
+    raw_json = F.to_json(
+        F.struct(*[F.col(c) for c in events.columns]), {"ignoreNullFields": "false"}
+    )
+
+    # evolved schema from the epoch's payload (op excluded, like merge_apply)
+    stage_payload_cols = [c for c in payload_cols if c != "op"]
+    probe = tagged.select(*stage_payload_cols).selectExpr(
+        "*",
+        "cast(null as string) content_sha256",
+        "cast(null as long) epoch",
+        "cast(null as long) run_id",
+        "cast(null as timestamp) load_timestamp",
+    )
+    schema, _, _ = target._merged_schema(probe)
+
+    DLQ_EXTRAS = ["raw_data", "rejection_reason", "reject_timestamp"]
+
+    # events side: both routes; quarantined rows get a unique synthetic key
+    ev_side = tagged.select(
+        F.when(is_bad, F.lit("dlq")).otherwise(F.lit("stage")).alias("_route"),
+        *[F.col(c) for c in payload_cols if c != "op"],
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.lit(run_id).cast("long").alias("run_id"),
+        F.current_timestamp().alias("load_timestamp"),
+        F.when(is_bad, raw_json).alias("raw_data"),
+        F.substring(F.concat_ws(";", "_violations"), 1, REASON_MAX_LEN).alias("rejection_reason"),
+        F.current_timestamp().alias("reject_timestamp"),
+        F.when(is_bad, F.monotonically_increasing_id()).alias("_qid"),
+        F.lit(1).alias("_is_source"),
+        (F.col("op") if "op" in events.columns else F.lit("U")).alias("_op"),
+    )
+
+    # target side: current state re-enters the LWW resolution as is_source=0
+    tdf = target.read()
+    target_op = (
+        F.when(F.coalesce(F.col("is_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
+        if "is_deleted" in tdf.columns
+        else F.lit("U")
+    )
+    t_side = tdf.select(
+        F.lit("stage").alias("_route"),
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in tdf.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ],
+        *[F.lit(None).cast("string").alias(c) for c in ("raw_data", "rejection_reason")],
+        F.lit(None).cast("timestamp").alias("reject_timestamp"),
+        F.lit(None).cast("long").alias("_qid"),
+        F.lit(0).alias("_is_source"),
+        target_op.alias("_op"),
+    )
+    # align events side to the evolved schema column order
+    ev_side = ev_side.select(
+        "_route",
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in ev_side.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ],
+        *DLQ_EXTRAS, "_qid", "_is_source", "_op",
+    )
+    unioned = t_side.unionByName(ev_side)
+
+    # THE shuffle: one bucket repartition; winners via bucket-local sort+lag
+    # (same tie order as the merge: ordering desc, is_source desc, tail desc)
+    ordering_ext = [*ORDERING_COLS, "_is_source"]
+    tail = [
+        f.name for f in schema.fields
+        if f.name not in key_cols and f.name not in ordering_ext
+    ]
+    bucketed = unioned.withColumn(
+        "_b", bucket_expr(key_cols, snap.num_buckets)
+    ).repartition(snap.num_buckets, "_b")
+    w = Window.partitionBy("_b").orderBy(
+        *[F.col(c).asc() for c in key_cols],
+        F.col("_qid").asc(),
+        *[F.col(c).desc() for c in ordering_ext],
+        *[F.col(c).desc() for c in tail],
+    )
+    group = F.struct(*[F.col(c) for c in key_cols], F.col("_qid"))
+    merged = (
+        bucketed.withColumn("_keep", ~F.lag(group).over(w).eqNullSafe(group))
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+    if cfg.keep_tombstones:
+        merged = merged.withColumn(
+            "is_deleted",
+            F.when(F.col("_route") == "stage", F.col("_op") == "D"),
+        )
+        if "is_deleted" not in [f.name for f in schema.fields]:
+            from pyspark.sql.types import BooleanType, StructField, StructType
+
+            schema = StructType(list(schema.fields) + [StructField("is_deleted", BooleanType())])
+    else:
+        merged = merged.filter((F.col("_route") == "dlq") | (F.col("_op") != "D"))
+    result = merged.drop("_qid", "_is_source", "_op")
+
+    epoch_tmp = os.path.join(cfg.warehouse, "_epoch_tmp", _uuid.uuid4().hex)
+    try:
+        _mark("plan")
+        result.write.mode("overwrite").partitionBy("_route", "_b").parquet(epoch_tmp)
+        _mark("fused_write")
+        events_in = int(obs.get["events_in"])
+        n_quarantined = int(obs.get["n_q"] or 0)
+        n_valid = events_in - n_quarantined
+
+        def _bucket_files(route: str) -> dict[str, list[str]]:
+            rdir = os.path.join(epoch_tmp, f"_route={route}")
+            out: dict[str, list[str]] = {}
+            if os.path.isdir(rdir):
+                for bdir in sorted(os.listdir(rdir)):
+                    if not bdir.startswith("_b="):
+                        continue
+                    b = str(int(bdir.split("=")[1]))
+                    out[b] = [
+                        os.path.join(rdir, bdir, f)
+                        for f in sorted(os.listdir(os.path.join(rdir, bdir)))
+                        if f.endswith(".parquet")
+                    ]
+            return out
+
+        dlq_files = [p for fs in _bucket_files("dlq").values() for p in fs]
+        if dlq_files:
+            dlq.adopt_files(dlq_files, properties={"epoch": str(epoch)})
+        else:
+            dlq._commit(
+                dlq.snapshot().files, dlq.snapshot().schema, "append-noop",
+                {"epoch": str(epoch)},
+            )
+        _mark("dlq")
+
+        stage_by_bucket = _bucket_files("stage")
+        new_snap = target.overwrite_with_files(
+            stage_by_bucket, schema=schema, properties={"epoch": str(epoch)}
+        )
+        bucket_counts = target.file_row_counts(new_snap.files)
+        rows_written = sum(bucket_counts.values())
+        _mark("adopt")
+    finally:
+        shutil.rmtree(epoch_tmp, ignore_errors=True)
+
+    status = epoch_status(events_in, n_valid, n_quarantined)
+    end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    commit_epoch(
+        manifest,
+        epoch=epoch, run_id=run_id, status=status, events_in=events_in,
+        rows_merged=rows_written, rows_loaded=n_valid, rows_quarantined=n_quarantined,
+        snapshot_id=new_snap.version, start_ts=start_ts, end_ts=end_ts,
+        partition_counts={int(b): c for b, c in bucket_counts.items()},
+    )
+    _mark("manifest")
+    log.debug("epoch %s fused phases: %s", epoch, _phase)
+    return {
+        "epoch": epoch, "status": status, "events_in": events_in,
+        "valid": n_valid, "quarantined": n_quarantined,
+        "rows_written": rows_written, "snapshot": new_snap.version,
         "phases": _phase,
     }
 
