@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=None)
     p.add_argument("--salt-buckets", type=int, default=None)
     p.add_argument("--max-epochs", type=int, default=None, help="stop after N epochs (resume later)")
-    p.add_argument("--dedup-strategy", choices=["auto", "broadcast", "shuffle"], default=None)
+    p.add_argument("--dedup-strategy", choices=["auto", "broadcast", "shuffle", "defer", "fused"], default=None)
     p.add_argument("--keep-tombstones", action="store_const", const=True, default=None)
     p.add_argument("--master", default=None, help="override master (default: env/spark-submit)")
     p.add_argument("--log-level", default=None)
