@@ -180,3 +180,55 @@ def test_snapshot_write_is_crash_atomic(spark, warehouse, tmp_path):
     for name in os.listdir(t.meta_dir):
         if name.startswith("snap-") and name.endswith(".json"):
             json.load(open(os.path.join(t.meta_dir, name)))
+
+
+def test_rebucket_spec_evolution(spark, warehouse):
+    """Bucket-spec evolution: rewrite 4 -> 16 buckets; state identical,
+    new layout bucket-pure under the new spec, subsequent MERGE prunes
+    against the new spec, and time travel still reads the old layout."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from wage_etl_spark.lake.table import bucket_expr
+    from wage_etl_spark.operators.merge import merge_apply
+    from wage_etl_spark.streaming.replay import KEY_COLS, ORDERING_COLS, TARGET_SCHEMA
+
+    t = LakeTable.create(spark, f"{warehouse}/rb", TARGET_SCHEMA, KEY_COLS, num_buckets=4)
+    rows = [
+        (f"r{i % 7}", f"p{i}", "1" * 40, i, "py", f"c{i}", None, 0, 1, None)
+        for i in range(200)
+    ]
+    t.append(spark.createDataFrame(rows, TARGET_SCHEMA))
+    v_old = t.current_version()
+    before = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+
+    snap = t.rebucket(16)
+    assert snap.num_buckets == 16 and t.snapshot().num_buckets == 16
+    after = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert after == before
+    # bucket purity under the NEW spec
+    for b, fs in snap.files.items():
+        for f in fs:
+            got = {
+                r["_b"]
+                for r in spark.read.parquet(_os.path.join(t.root, f))
+                .withColumn("_b", bucket_expr(KEY_COLS, 16))
+                .select("_b").distinct().collect()
+            }
+            assert got <= {int(b)}
+    # merge after rebucket prunes against the new spec and updates in place
+    src = spark.createDataFrame(
+        [("r1", "p1", "9" * 40, 999, "py", "updated", "U")],
+        "repo string, path string, commit string, event_seq long, lang string, "
+        "content string, op string",
+    )
+    snap1 = t.snapshot()
+    merge_apply(t, src, ORDERING_COLS)
+    snap2 = t.snapshot()
+    changed = {b for b in snap2.files if snap2.files[b] != snap1.files.get(b)}
+    assert len(changed) == 1
+    assert {r["content"] for r in t.read().filter(F.col("path") == "p1").collect()} == {"updated"}
+    assert t.read().count() == 200
+    # time travel: the pre-rebucket version still reads through the old spec
+    assert t.read(version=v_old).count() == 200

@@ -256,3 +256,34 @@ def test_fused_resume_evolution_and_tombstones(spark, warehouse):
     assert "lang_version" in cols and "is_deleted" in cols
     # tombstones really persisted (some keys saw a delete as their winner)
     assert target.read().filter(F.coalesce("is_deleted", F.lit(False))).count() > 0
+
+
+def test_fused_all_quarantined_epoch_preserves_state(spark, warehouse):
+    """Fused rewrites the whole table per epoch; an epoch where EVERY event
+    is quarantined must re-emit the prior state unchanged (the target rows
+    ride through the LWW resolution) and route everything else to the DLQ."""
+    from pyspark.sql import functions as F
+
+    cfg = ReplayConfig(warehouse=warehouse, num_buckets=4, dedup_strategy="fused")
+    good = synthesize_events(spark, n_events=500, n_keys=50, n_epochs=1, invalid_frac=0.0)
+    replay(spark, cfg, EpochSource(good))
+    target, dlq, manifest = open_tables(spark, cfg)
+    before = {
+        (r["repo"], r["path"]): r["content_sha256"] for r in target.read().collect()
+    }
+    assert before
+
+    # epoch 1: every event invalid (op X + empty path)
+    bad = (
+        synthesize_events(spark, n_events=200, n_keys=50, n_epochs=1, invalid_frac=0.0)
+        .withColumn("op", F.lit("X"))
+        .withColumn("epoch", F.lit(1))
+    )
+    res = replay(spark, cfg, EpochSource(good.unionByName(bad)))
+    assert [r["epoch"] for r in res] == [1]
+    assert res[0]["quarantined"] == res[0]["events_in"]
+    after = {
+        (r["repo"], r["path"]): r["content_sha256"] for r in target.read().collect()
+    }
+    assert after == before
+    assert dlq.read().filter("epoch = 1").count() == res[0]["events_in"]

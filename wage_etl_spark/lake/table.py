@@ -239,13 +239,14 @@ class LakeTable:
         renames: dict[str, str] | None = None,
         parent: Snapshot | None = None,
         key_cols: list[str] | None = None,
+        num_buckets: int | None = None,
     ) -> Snapshot:
         parent = parent or self.snapshot()
         snap = Snapshot(
             version=self._next_version(),
             schema_json=schema.json(),
             key_cols=key_cols if key_cols is not None else parent.key_cols,
-            num_buckets=parent.num_buckets,
+            num_buckets=num_buckets if num_buckets is not None else parent.num_buckets,
             files=files,
             operation=operation,
             properties=properties,
@@ -410,6 +411,32 @@ class LakeTable:
         return self._commit(
             snap.files, StructType(fields), "rename", properties or {},
             renames=renames, parent=snap, key_cols=key_cols,
+        )
+
+    def rebucket(
+        self, new_num_buckets: int, properties: dict[str, str] | None = None
+    ) -> Snapshot:
+        """Bucket-spec evolution (the Iceberg partition-spec-evolution
+        analog): rewrite the table into a different hash-bucket count — the
+        scale lever when a table outgrows its layout (e.g. 32 buckets at
+        bootstrap -> 4096 as a replay approaches 10^10 keys, keeping
+        per-bucket file sizes bounded). ONE repartition job over the current
+        state; the bucket count is PER SNAPSHOT, so time travel to older
+        versions still reads the old layout, and every downstream consumer
+        (merge pruning, fused apply) picks the new spec up from the latest
+        snapshot automatically."""
+        if new_num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        snap = self.snapshot()
+        if new_num_buckets == snap.num_buckets:
+            return snap
+        import dataclasses as _dc
+
+        target_spec = _dc.replace(snap, num_buckets=new_num_buckets)
+        files = self._write_files(self.read(), target_spec)
+        return self._commit(
+            files, snap.schema, "rebucket", properties or {},
+            parent=snap, num_buckets=new_num_buckets,
         )
 
     def rollback_to(self, version: int, properties: dict[str, str] | None = None) -> Snapshot:
