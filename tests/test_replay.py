@@ -287,3 +287,20 @@ def test_fused_all_quarantined_epoch_preserves_state(spark, warehouse):
     }
     assert after == before
     assert dlq.read().filter("epoch = 1").count() == res[0]["events_in"]
+
+
+def test_auto_rebucket_grows_layout_mid_replay(spark, warehouse):
+    """rebucket_above_rows: when an epoch's largest bucket passes the
+    threshold the target is rebucketed to 4x mid-replay; later epochs merge
+    against the new spec and the final state still equals the oracle."""
+    ev = synthesize_events(spark, n_events=4000, n_keys=400, n_epochs=3, invalid_frac=0.02)
+    cfg = ReplayConfig(
+        warehouse=warehouse, num_buckets=2, rebucket_above_rows=50,
+    )
+    results = replay(spark, cfg, EpochSource(ev))
+    assert any(r.get("rebucketed_to") for r in results)
+    target, dlq, manifest = open_tables(spark, cfg)
+    assert target.snapshot().num_buckets >= 8  # grew at least once (2 -> 8)
+    oracle_state, n_valid, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
+    report = verify_state(spark, target, sha_map(oracle_state))
+    assert report["equal"], {k: report[k] for k in ("n_missing", "n_extra", "n_mismatched")}

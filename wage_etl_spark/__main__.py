@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=None)
     p.add_argument("--salt-buckets", type=int, default=None)
     p.add_argument("--max-epochs", type=int, default=None, help="stop after N epochs (resume later)")
+    p.add_argument("--rebucket-above-rows", type=int, default=None,
+                   help="auto bucket-spec evolution: rebucket the target to 4x when a bucket passes this row count")
     p.add_argument("--dedup-strategy", choices=["auto", "broadcast", "shuffle", "defer", "fused"], default=None)
     p.add_argument("--keep-tombstones", action="store_const", const=True, default=None)
     p.add_argument("--master", default=None, help="override master (default: env/spark-submit)")
@@ -48,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
             k: getattr(args, k)
             for k in (
                 "events", "warehouse", "num_buckets", "salt_buckets", "max_epochs",
-                "dedup_strategy", "keep_tombstones", "master", "log_level", "log_file",
+                "dedup_strategy", "keep_tombstones", "rebucket_above_rows", "master", "log_level", "log_file",
             )
         },
         config_file=args.config,

@@ -32,6 +32,7 @@ class EngineConfig:
     dedup_strategy: str = "auto"
     keep_tombstones: bool = False
     broadcast_key_limit: int = 1_000_000
+    rebucket_above_rows: int | None = None
     master: str | None = None
     log_level: str = "INFO"
     log_file: str | None = None
@@ -49,6 +50,7 @@ class EngineConfig:
             dedup_strategy=self.dedup_strategy,
             keep_tombstones=self.keep_tombstones,
             broadcast_key_limit=self.broadcast_key_limit,
+            rebucket_above_rows=self.rebucket_above_rows,
         )
 
 

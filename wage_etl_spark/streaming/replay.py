@@ -99,6 +99,14 @@ class ReplayConfig:
     #   replacement. Halves the per-epoch fixed cost; every epoch rewrites
     #   the whole table, so use when epochs touch most buckets anyway.
     dedup_strategy: str = "auto"
+    # auto bucket-spec evolution: after an epoch commits, if the largest
+    # rewritten bucket exceeds this row count, the target is rebucketed to
+    # 4x its current bucket count (LakeTable.rebucket) before the next
+    # epoch — the layout grows with the table instead of being fixed at
+    # bootstrap. None disables. Crash-safe: the rebucket snapshot carries
+    # the already-committed epoch's tag, so rollback never drops it, and a
+    # crash before the rebucket simply re-triggers it next run.
+    rebucket_above_rows: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -347,6 +355,7 @@ def apply_epoch(
         "epoch": epoch, "status": status, "events_in": events_in,
         "valid": n_valid, "quarantined": n_quarantined,
         "rows_written": rows_written, "snapshot": snap.version,
+        "max_bucket_rows": max(bucket_counts.values(), default=0),
         "phases": _phase,
     }
 
@@ -577,6 +586,7 @@ def _apply_epoch_fused(
         "epoch": epoch, "status": status, "events_in": events_in,
         "valid": n_valid, "quarantined": n_quarantined,
         "rows_written": rows_written, "snapshot": new_snap.version,
+        "max_bucket_rows": max(bucket_counts.values(), default=0),
         "phases": _phase,
     }
 
@@ -603,6 +613,17 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
         res["epoch_wall_s"] = round(_time.monotonic() - _t0, 3)
         log.info("epoch %s: %s", e, res)
         results.append(res)
+        if (
+            cfg.rebucket_above_rows
+            and res.get("max_bucket_rows", 0) > cfg.rebucket_above_rows
+        ):
+            nb = target.snapshot().num_buckets * 4
+            log.info(
+                "epoch %s: bucket grew past %s rows — rebucketing to %s",
+                e, cfg.rebucket_above_rows, nb,
+            )
+            target.rebucket(nb, properties={"epoch": str(e)})
+            res["rebucketed_to"] = nb
     return results
 
 
