@@ -114,3 +114,26 @@ def test_stream_late_lower_version_cannot_resurrect_deleted_key(spark, tmp_path)
     tomb = target.read().filter(F.col("path") == "doomed.py").collect()
     assert len(tomb) == 1 and tomb[0]["is_deleted"]
     assert tomb[0]["commit"] == high
+
+
+def test_stream_with_fused_strategy_matches_oracle(spark, tmp_path):
+    """The streaming front-end composes with the fused one-job apply: each
+    micro-batch runs as a fused epoch (with forced tombstones) and the final
+    state equals the order-independent oracle."""
+    ev = synthesize_events(spark, n_events=1500, n_keys=120, n_epochs=1, invalid_frac=0.04)
+    events_dir = str(tmp_path / "events")
+    _write_stream_files(spark, ev, events_dir, n_files=3)
+    cfg = ReplayConfig(
+        warehouse=str(tmp_path / "wh"), num_buckets=4, dedup_strategy="fused"
+    )
+    schema = spark.read.parquet(events_dir).schema
+    q = start_stream(
+        spark, cfg, stream_events(spark, events_dir, schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    rows = [r.asDict() for r in ev.collect()]
+    oracle_state, n_valid, n_quar = replay_oracle_global(rows)
+    target, dlq, manifest = open_tables(spark, cfg)
+    assert verify_state(spark, target, sha_map(oracle_state))["equal"]
+    assert dlq.read().count() == n_quar

@@ -391,7 +391,6 @@ def _apply_epoch_fused(
     import time as _time
     import uuid as _uuid
 
-    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
     from wage_etl_spark.operators.validate import REASON_MAX_LEN, tag_events
@@ -413,12 +412,12 @@ def _apply_epoch_fused(
 
     tagged = tag_events(events)
     is_bad = F.size("_violations") > 0
-    obs = Observation()
-    tagged = tagged.observe(
-        obs,
-        F.count(F.lit(1)).alias("events_in"),
-        F.sum(is_bad.cast("long")).alias("n_q"),
-    )
+    # counters WITHOUT an Observation: Observation.get deadlocks inside a
+    # foreachBatch micro-batch (the listener event for the nested batch
+    # action never fires), and fused runs under the streaming front-end
+    # too. events_in is a metadata-only parquet count (row-group footers,
+    # no data read); quarantined comes from the DLQ output files' footers.
+    events_in = events.count()
 
     payload_cols = [c for c in events.columns if c != "epoch"]
     raw_json = F.to_json(
@@ -532,9 +531,6 @@ def _apply_epoch_fused(
         _mark("plan")
         result.write.mode("overwrite").partitionBy("_route", "_b").parquet(epoch_tmp)
         _mark("fused_write")
-        events_in = int(obs.get["events_in"])
-        n_quarantined = int(obs.get["n_q"] or 0)
-        n_valid = events_in - n_quarantined
 
         def _bucket_files(route: str) -> dict[str, list[str]]:
             rdir = os.path.join(epoch_tmp, f"_route={route}")
@@ -552,6 +548,11 @@ def _apply_epoch_fused(
             return out
 
         dlq_files = [p for fs in _bucket_files("dlq").values() for p in fs]
+        # quarantine count from the DLQ files' parquet footers (no job)
+        import pyarrow.parquet as _pq
+
+        n_quarantined = sum(_pq.ParquetFile(p).metadata.num_rows for p in dlq_files)
+        n_valid = events_in - n_quarantined
         if dlq_files:
             dlq.adopt_files(dlq_files, properties={"epoch": str(epoch)})
         else:
