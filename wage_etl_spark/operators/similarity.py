@@ -134,6 +134,13 @@ def cosine_near_dups(
     c = corpus.join(assigned, id_col).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "assigned_label"
     )
+    # materialize the assignment once: the self-join would otherwise
+    # recompute the centroid build + nearest-centroid window on BOTH sides
+    # (this is the ANN index-build step — at corpus scale you persist it to
+    # the lake, here MEMORY_AND_DISK)
+    from pyspark import StorageLevel
+
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
