@@ -400,14 +400,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs on the DEFAULT (recall-complete) multi-table
-    Manku plan: n_tables = max_hamming + 1 = 13 contiguous-block equi-joins,
-    whose output is EXACTLY the set of pairs within hamming <= 12 — so the
-    oracle is the stronger brute-force all-pairs hamming join (feasible in
-    DuckDB at oracle scale; the Spark plan never goes all-pairs)."""
+    Manku plan at the SCALE-SANE radius ``max_hamming=3``: n_tables = 4
+    contiguous 15-bit blocks (32k buckets/table), whose output is EXACTLY
+    the set of pairs within hamming <= 3 — so the oracle is the stronger
+    brute-force all-pairs hamming join (feasible in DuckDB at oracle scale;
+    the Spark plan never goes all-pairs). Round-3 verdict: the previous
+    ``max_hamming=12`` forced 13 tables of 4-5-bit blocks (<=32 buckets),
+    degenerating toward all-pairs at corpus scale — the Manku construction
+    needs block width >= ~log2(N); see simhash_near_dups's docstring."""
     from wage_etl_spark.operators.dedupe import simhash_near_dups
 
     d = _t(spark, sf, "documents")
-    return simhash_near_dups(d, "text", "doc_id", max_hamming=12).select(
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=3).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"),
         F.col("hamming").cast("long").alias("hamming"),
     )
@@ -1065,10 +1069,11 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1, 2
         """,
         # Oracle for operators/dedupe.py:simhash_near_dups on the DEFAULT
-        # multi-table plan (n_tables = max_hamming + 1 = 13): by pigeonhole
-        # its output is EXACTLY all pairs with hamming <= 12, so the oracle
-        # is brute-force all-pairs — strictly stronger than replaying the
-        # bucketing (it would catch a recall bug in the block scheme).
+        # multi-table plan (n_tables = max_hamming + 1 = 4, 15-bit blocks):
+        # by pigeonhole its output is EXACTLY all pairs with hamming <= 3,
+        # so the oracle is brute-force all-pairs — strictly stronger than
+        # replaying the bucketing (it would catch a recall bug in the block
+        # scheme).
         "simhash_near_dups": f"""
             WITH h AS (
               SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
@@ -1084,7 +1089,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
                    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         # LSH candidates (same CTEs as minhash_lsh_pairs) -> exact shingle
         # Jaccard on candidates only (mirrors dedupe.ngram_jaccard)

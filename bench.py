@@ -376,6 +376,8 @@ def time_queries(spark) -> dict[str, float]:
     # charged the session cold-start
     em.queries()["cdc_validate_split"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    from wage_etl_spark.operators.caching import release_operator_caches
+
     out = {}
     for name, fn in em.queries().items():
         if HEADLINE and name not in HEADLINE:
@@ -384,6 +386,9 @@ def time_queries(spark) -> dict[str, float]:
         # noop sink: full execution, no driver materialization
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = round(time.monotonic() - t0, 3)
+        # operator caches (LSH candidates, IVF assignment) are scoped to one
+        # query — release so a long bench session doesn't accumulate them
+        release_operator_caches()
     return out
 
 

@@ -182,6 +182,50 @@ def test_snapshot_write_is_crash_atomic(spark, warehouse, tmp_path):
             json.load(open(os.path.join(t.meta_dir, name)))
 
 
+def test_rollback_across_rebucket_restores_bucket_spec(spark, warehouse):
+    """ADVICE fix (round 4): rollback_to must restore the TARGET snapshot's
+    num_buckets/key_cols, not inherit the current one. Rolling back across a
+    rebucket boundary previously produced a snapshot whose files were laid
+    out under the old bucket count while num_buckets reported the new one —
+    merge_apply would then prune/splice the wrong buckets and corrupt state."""
+    from pyspark.sql import functions as F
+
+    from wage_etl_spark.operators.merge import merge_apply
+    from wage_etl_spark.streaming.replay import KEY_COLS, ORDERING_COLS, TARGET_SCHEMA
+
+    t = LakeTable.create(spark, f"{warehouse}/rbk", TARGET_SCHEMA, KEY_COLS, num_buckets=4)
+    rows = [
+        (f"r{i % 7}", f"p{i}", "1" * 40, i, "py", f"c{i}", None, 0, 1, None)
+        for i in range(100)
+    ]
+    t.append(spark.createDataFrame(rows, TARGET_SCHEMA))
+    v_pre = t.current_version()
+    t.rebucket(16)
+    assert t.snapshot().num_buckets == 16
+
+    snap = t.rollback_to(v_pre)
+    # the restored snapshot's spec matches the layout of its files
+    assert snap.num_buckets == 4 and snap.key_cols == KEY_COLS
+    assert t.read().count() == 100
+
+    # merge against the rolled-back state lands in the right (old-spec) bucket
+    src = spark.createDataFrame(
+        [("r1", "p1", "9" * 40, 999, "py", "updated", "U")],
+        "repo string, path string, commit string, event_seq long, lang string, "
+        "content string, op string",
+    )
+    merge_apply(t, src, ORDERING_COLS)
+    assert t.read().count() == 100
+    assert {
+        r["content"] for r in t.read().filter(F.col("path") == "p1").collect()
+    } == {"updated"}
+    # every key still resolves to exactly one row (bucket purity held)
+    dupes = (
+        t.read().groupBy(*KEY_COLS).count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
 def test_rebucket_spec_evolution(spark, warehouse):
     """Bucket-spec evolution: rewrite 4 -> 16 buckets; state identical,
     new layout bucket-pure under the new spec, subsequent MERGE prunes

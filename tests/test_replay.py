@@ -304,3 +304,27 @@ def test_auto_rebucket_grows_layout_mid_replay(spark, warehouse):
     oracle_state, n_valid, n_quar = replay_oracle([r.asDict() for r in ev.collect()])
     report = verify_state(spark, target, sha_map(oracle_state))
     assert report["equal"], {k: report[k] for k in ("n_missing", "n_extra", "n_mismatched")}
+
+
+def test_rebucket_retriggers_on_resume_after_crash_before_rebucket(spark, warehouse):
+    """ADVICE fix (round 4): a crash between the manifest commit and the
+    rebucket must re-trigger the rebucket on the NEXT replay even though the
+    later epochs never rewrite the oversized bucket past the threshold.
+    Simulated by running the first replay WITHOUT the trigger (state grows,
+    no rebucket — the post-crash on-disk state) and resuming WITH it."""
+    ev = synthesize_events(spark, n_events=4000, n_keys=400, n_epochs=4, invalid_frac=0.0)
+    # epochs 0..2 replayed without a trigger: buckets grow past 50 rows
+    cfg0 = ReplayConfig(warehouse=warehouse, num_buckets=2, max_epochs=3)
+    replay(spark, cfg0, EpochSource(ev))
+    target, _dlq, _manifest = open_tables(spark, cfg0)
+    assert target.snapshot().num_buckets == 2
+    assert max(target.file_row_counts(target.snapshot().files).values()) > 50
+
+    # resume with the trigger: the START-of-run check must rebucket before
+    # epoch 3 runs, and the final state must still equal the oracle
+    cfg1 = ReplayConfig(warehouse=warehouse, num_buckets=2, rebucket_above_rows=50)
+    replay(spark, cfg1, EpochSource(ev))
+    assert target.snapshot().num_buckets == 8
+    oracle_state, _nv, _nq = replay_oracle([r.asDict() for r in ev.collect()])
+    report = verify_state(spark, target, sha_map(oracle_state))
+    assert report["equal"], {k: report[k] for k in ("n_missing", "n_extra", "n_mismatched")}

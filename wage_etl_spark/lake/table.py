@@ -441,7 +441,14 @@ class LakeTable:
 
     def rollback_to(self, version: int, properties: dict[str, str] | None = None) -> Snapshot:
         """New snapshot pointing at an old snapshot's files (Iceberg
-        rollback semantics — history is preserved, the table state rewinds)."""
+        rollback semantics — history is preserved, the table state rewinds).
+
+        The FULL spec of the target version is restored — files, schema,
+        renames, key_cols, AND num_buckets. The bucket count is per-snapshot
+        (rebucket()), so a rollback across a rebucket boundary must revert to
+        the layout the restored files were written under; inheriting the
+        current snapshot's count would make merge_apply compute bucket_expr
+        with the wrong modulus and splice the wrong buckets."""
         target = self.snapshot(version)
         cur = self.snapshot()
         return self._commit(
@@ -451,6 +458,8 @@ class LakeTable:
             {**(properties or {}), "rolled_back_to": str(version)},
             renames=target.renames,
             parent=cur,
+            key_cols=target.key_cols,
+            num_buckets=target.num_buckets,
         )
 
     def latest_version_where(self, pred) -> int | None:

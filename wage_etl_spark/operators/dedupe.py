@@ -171,6 +171,7 @@ def lsh_jaccard_verified(
     k: int = 3,
     min_jaccard: float = 0.5,
     broadcast_max_pairs: int | None = 1_000_000,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Full near-dup pipeline: banded-LSH candidates -> exact k-shingle
     Jaccard on candidates only (never all-pairs).
@@ -179,29 +180,50 @@ def lsh_jaccard_verified(
     expensive LSH pipeline from being recomputed per downstream join), then
     the text-attach joins are planned from that count:
 
-    - count <= ``broadcast_max_pairs``: broadcast the pairs through both
-      joins — the corpus never shuffles (the common case; LSH candidates
-      are tiny vs the corpus).
-    - count above the cap (boilerplate-heavy corpora — LSH candidate volume
-      scales with near-dup density, not a constant): NO broadcast hint, so
-      the plan degrades to a shuffle join (AQE may still choose broadcast
-      from runtime stats) instead of a driver/executor OOM from force-
-      broadcasting an unbounded candidate set.
-    - ``broadcast_max_pairs=None`` skips the count and always hints (callers
-      that already know their candidate bound)."""
+    - count <= ``broadcast_max_pairs``: the BARE pair set (two ids/row) is
+      broadcast into the first text-attach join — the corpus never shuffles
+      (the common case; LSH candidates are tiny vs the corpus).
+    - the SECOND join's build side carries document text (pairs ⋈ text_a),
+      so its broadcast is gated on ESTIMATED BYTES — pair count x (avg text
+      length + row overhead) — not row count (round-3 ADVICE: 1M rows of
+      KB-sized documents far exceed a safe broadcast and would OOM the
+      driver while a row gate reports "under cap"). Over
+      ``broadcast_max_bytes`` the plan degrades to a shuffle join on id_b.
+      The length probe is one column-pruned aggregate over the corpus —
+      cheap next to the LSH pipeline itself.
+    - count above ``broadcast_max_pairs`` (boilerplate-heavy corpora — LSH
+      candidate volume scales with near-dup density, not a constant): NO
+      hints at all; AQE may still choose broadcast from runtime stats.
+    - ``broadcast_max_pairs=None`` skips the counts and always hints
+      (callers that already know their candidate bound).
+
+    The persisted candidate set is registered with
+    ``operators.caching`` — session owners running many queries call
+    ``release_operator_caches()`` between them (bench.py does)."""
+    from wage_etl_spark.operators.caching import register_cache
+
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k).select(
         "id_a", "id_b"
     )
-    hint = broadcast
+    pair_hint = attach_hint = broadcast
     if broadcast_max_pairs is not None:
         from pyspark import StorageLevel
 
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        if pairs.count() > broadcast_max_pairs:
-            hint = lambda d: d  # noqa: E731 — identity: let the planner/AQE decide
+        pairs = register_cache(pairs.persist(StorageLevel.MEMORY_AND_DISK))
+        n_pairs = pairs.count()
+        if n_pairs > broadcast_max_pairs:
+            # identity: let the planner/AQE decide
+            pair_hint = attach_hint = lambda d: d  # noqa: E731
+        else:
+            avg_len = (
+                df.select(F.avg(F.length(F.col(text_col))).alias("l")).first()["l"]
+                or 0.0
+            )
+            if n_pairs * (avg_len + 48) > broadcast_max_bytes:
+                attach_hint = lambda d: d  # noqa: E731
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    j = b.join(hint(a.join(hint(pairs), "id_a")), "id_b")
+    j = b.join(attach_hint(a.join(pair_hint(pairs), "id_a")), "id_b")
     out = ngram_jaccard(j, "text_a", "text_b", k)
     return out.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "jaccard"
@@ -266,9 +288,29 @@ def simhash_near_dups(
     ``n_tables=1`` is the opt-in fast path: bucket by the top
     ``prefix_bits`` bits only — one join instead of max_hamming+1, but
     pairs whose differing bits all fall in the prefix are missed (recall
-    loss, documented)."""
+    loss, documented).
+
+    SCALE CONSTRAINT (round-3 verdict): the Manku construction is only
+    sub-quadratic when each block is wide enough that buckets stay sparse —
+    block width = 60/(max_hamming+1) bits must be >= ~log2(N). With
+    ``max_hamming=12`` the 13 blocks are 4-5 bits (<=32 buckets/table), so
+    every table self-joins ~N/32 docs per bucket — candidate volume
+    O(tables * N^2 / 32), effectively all-pairs at corpus scale. Keep
+    ``max_hamming <= 5`` for a 60-bit signature (>=10-bit blocks, 1024+
+    buckets/table); a larger radius needs a wider signature. A warning is
+    emitted when the block width degenerates below 8 bits."""
     if n_tables is None:
         n_tables = max_hamming + 1
+    if n_tables > 1 and (60 // n_tables) < 8:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_dups: {n_tables} tables over 60 bits gives "
+            f"{60 // n_tables}-bit blocks (<256 buckets/table) — candidate "
+            "generation degenerates toward all-pairs at corpus scale; use "
+            "max_hamming <= 5 or widen the signature",
+            stacklevel=2,
+        )
     sh = simhash_signatures(df, text_col, id_col)
     if n_tables <= 1:
         bucketed = sh.withColumn(

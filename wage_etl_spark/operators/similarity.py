@@ -137,10 +137,13 @@ def cosine_near_dups(
     # materialize the assignment once: the self-join would otherwise
     # recompute the centroid build + nearest-centroid window on BOTH sides
     # (this is the ANN index-build step — at corpus scale you persist it to
-    # the lake, here MEMORY_AND_DISK)
+    # the lake, here MEMORY_AND_DISK). Registered with operators.caching so
+    # long-lived sessions can release it between queries (round-3 ADVICE).
     from pyspark import StorageLevel
 
-    c = c.persist(StorageLevel.MEMORY_AND_DISK)
+    from wage_etl_spark.operators.caching import register_cache
+
+    c = register_cache(c.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(

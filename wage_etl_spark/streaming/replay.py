@@ -104,8 +104,11 @@ class ReplayConfig:
     # 4x its current bucket count (LakeTable.rebucket) before the next
     # epoch — the layout grows with the table instead of being fixed at
     # bootstrap. None disables. Crash-safe: the rebucket snapshot carries
-    # the already-committed epoch's tag, so rollback never drops it, and a
-    # crash before the rebucket simply re-triggers it next run.
+    # the already-committed epoch's tag, so rollback never drops it, and
+    # replay() additionally checks the CURRENT snapshot's per-bucket row
+    # counts at start-of-run (parquet footers, no Spark job), so a crash
+    # between the manifest commit and the rebucket re-triggers it on resume
+    # even if later epochs never rewrite the oversized bucket.
     rebucket_above_rows: int | None = None
     extra: dict = field(default_factory=dict)
 
@@ -601,6 +604,21 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
     _rollback_orphans(target, last)
     _rollback_orphans(dlq, last)
     run_id = next_run_id(manifest)
+
+    # Start-of-run rebucket check (round-3 ADVICE): the per-epoch trigger
+    # below only sees the buckets the epoch just rewrote, so a crash between
+    # the manifest commit and the rebucket — or an oversized UNTOUCHED bucket
+    # — would otherwise never re-trigger. One driver-side footer read over
+    # the current snapshot (no Spark job) closes both gaps.
+    if cfg.rebucket_above_rows and target.snapshot().files:
+        counts = target.file_row_counts(target.snapshot().files)
+        if counts and max(counts.values()) > cfg.rebucket_above_rows:
+            nb = target.snapshot().num_buckets * 4
+            log.info(
+                "resume: bucket over %s rows in current snapshot — "
+                "rebucketing to %s before replay", cfg.rebucket_above_rows, nb,
+            )
+            target.rebucket(nb, properties={"epoch": str(last)})
 
     results = []
     stop = source.max_epoch()
