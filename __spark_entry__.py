@@ -441,41 +441,21 @@ def q_embedding_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     (nearest label-centroid, broadcast) then exact cosine top-k probing ONLY
     the query's cluster — ~1/n_labels of the brute-force work, corpus still
     never shuffles. Deterministic (rounded sims, id tie-breaks), so recall
-    vs brute force is itself oracle-checkable."""
+    vs brute force is itself oracle-checkable. Hash-verified here at
+    nprobe=1; operators/similarity.py::ivf_ann_topk's nprobe>1 multi-probe
+    recall gain is measured in tests/test_training_ops.py."""
+    from wage_etl_spark.operators.similarity import ivf_ann_topk
+
     emb = _t(spark, sf, "embeddings")
-    cents = label_centroids(emb, "embedding", "label").select(
-        "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = ivf_ann_topk(
+        emb, queries, "embedding", "vec_id", "label", k=3, nprobe=1
     )
-    assigned = assign_nearest_centroid(emb, cents, "embedding", "vec_id").select(
-        "vec_id", "assigned_label"
-    )
-    corpus = emb.join(assigned, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"),
-        as_double("embedding").alias("cv"),
-        "assigned_label",
-    )
-    queries = corpus.filter(F.col("neighbor_id") % 97 == 0).select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("cv").alias("qv"),
-        F.col("assigned_label").alias("q_label"),
-    )
-    scored = corpus.join(
-        broadcast(queries),
-        (F.col("assigned_label") == F.col("q_label"))
-        & (F.col("neighbor_id") != F.col("query_id")),
-    ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 4).alias("cosine"),
-        )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
     )
 
 
@@ -492,6 +472,23 @@ def q_embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
+    )
+
+
+def q_hyperplane_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding vector (the ANN bucketing
+    primitive: cosine-similar vectors collide per-bit with prob 1-theta/pi).
+    Hyperplane components are deterministic +/-1 from md5(seed|plane|dim),
+    so the construction is engine-portable and the DuckDB oracle replays it
+    bit-for-bit — including the projection's sequential left-fold sum.
+    operators/similarity.py::hyperplane_lsh_buckets."""
+    from wage_etl_spark.operators.similarity import hyperplane_lsh_buckets
+
+    emb = _t(spark, sf, "embeddings")
+    out = hyperplane_lsh_buckets(emb, "embedding", "vec_id", n_planes=8, seed=42)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("lsh_bucket").cast("long").alias("lsh_bucket"),
     )
 
 
@@ -723,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
     }
 
 
@@ -1212,5 +1210,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, label::BIGINT AS assigned_label, round(sim_exact, 4) AS sim
             FROM ranked WHERE rn = 1
+        """,
+        # Oracle for operators/similarity.py:hyperplane_lsh_buckets — replays
+        # the md5-derived +/-1 hyperplanes and the projection's SEQUENTIAL
+        # left-fold sum (list_reduce over list_prepend mirrors Spark's
+        # F.aggregate element order, so the FP result is identical), then
+        # packs bit p = (proj_p > 0) into the bucket id.
+        "hyperplane_lsh_buckets": """
+            WITH proj AS (
+              SELECT e.vec_id, gp.p,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, len(e.embedding)),
+                         i -> e.embedding[i]::DOUBLE *
+                              (CASE WHEN ('0x' || substr(md5(concat(42, '|', gp.p, '|', i - 1)), 1, 2))::BIGINT % 2 = 0
+                                    THEN 1.0 ELSE -1.0 END))),
+                       (s, x) -> s + x) AS proj
+              FROM embeddings e, generate_series(0, 7) AS gp(p)
+            )
+            SELECT vec_id,
+                   sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS lsh_bucket
+            FROM proj GROUP BY vec_id
         """,
     }

@@ -171,3 +171,94 @@ def test_simhash_multi_table_recall_is_total(spark):
     }
     assert single <= brute  # opt-in single table never invents pairs...
     # ...but its recall is allowed to be (and typically is) partial
+
+
+def _boundary_corpus(spark):
+    """Seeded corpus with two well-separated clusters plus near-dup pairs
+    planted NEAR THE MIDPOINT between the cluster centroids: tiny noise
+    decides each midpoint vector's nearest centroid, so some planted pairs
+    straddle the boundary — exactly the pairs single-probe IVF misses."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    c0 = np.ones(dim)
+    c1 = np.concatenate([np.ones(dim // 2), -np.ones(dim // 2)])
+    rows, vid = [], 0
+    for lab, ctr in [(0, c0), (1, c1)]:
+        for _ in range(40):
+            v = ctr + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], lab))
+            vid += 1
+    mid = (c0 + c1) / 2.0
+    for i in range(10):
+        base = mid + 0.05 * rng.standard_normal(dim)
+        dup = base + 0.01 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in base], 0))
+        rows.append((vid + 1, [float(x) for x in dup], 1))
+        vid += 2
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_cosine_near_dups_multiprobe_recall_improves(spark):
+    """nprobe=2 must recover boundary-straddling pairs nprobe=1 misses;
+    both are exact-verified subsets of the brute-force ground truth."""
+    import numpy as np
+
+    from wage_etl_spark.operators.similarity import cosine_near_dups
+
+    corpus = _boundary_corpus(spark)
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"])) for r in corpus.collect()),
+    )
+    thr = 0.995
+    truth = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i][1], rows[j][1]
+            cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+            if cos >= thr:
+                truth.add((rows[i][0], rows[j][0]))
+    assert len(truth) >= 10  # the planted base/dup pairs are all above thr
+
+    def found(nprobe):
+        out = cosine_near_dups(
+            corpus, "embedding", "vec_id", "label", min_cosine=thr, nprobe=nprobe
+        )
+        return {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+    f1, f2 = found(1), found(2)
+    assert f1 <= truth and f2 <= truth  # precision 1.0 (exact verify stage)
+    assert f1 < f2  # strictly better recall with the second probe
+    # at least one planted straddling pair was missed by 1 and found by 2
+    assert f2 - f1
+    # with 2 clusters, probing both = exhaustive: recall 1.0
+    assert f2 == truth
+
+
+def test_ivf_ann_topk_multiprobe_recall_improves(spark):
+    """Query-side multi-probe: recall@k vs brute_force_topk strictly
+    improves from nprobe=1 to nprobe=2 on the boundary corpus (and is total
+    at nprobe=2 with two clusters)."""
+    from wage_etl_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    corpus = _boundary_corpus(spark)
+    # the midpoint vectors are the adversarial queries
+    queries = corpus.filter(F.col("vec_id") >= 80)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, "embedding", "vec_id", k=3).collect()
+    }
+
+    def found(nprobe):
+        out = ivf_ann_topk(
+            corpus, queries, "embedding", "vec_id", "label", k=3, nprobe=nprobe
+        )
+        return {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+    r1 = len(found(1) & exact) / len(exact)
+    r2 = len(found(2) & exact) / len(exact)
+    assert r1 < r2
+    assert r2 == 1.0  # two clusters: probing both is exhaustive

@@ -91,9 +91,16 @@ def assign_nearest_centroid(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF partition assignment: nearest centroid by cosine (broadcast the
-    centroid table; corpus scanned once, never shuffled)."""
+    """IVF partition assignment: nearest centroid(s) by cosine (broadcast
+    the centroid table; corpus scanned once, never shuffled).
+
+    ``nprobe > 1`` assigns each vector its ``nprobe`` nearest centroids
+    (one output row per probe, ``probe_rank`` 1..nprobe) — the multi-probe
+    remedy for the single-probe boundary miss: a pair/query straddling a
+    centroid boundary is caught because both sides now share at least one
+    probed cluster, at the cost of ``nprobe``x candidate volume."""
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     x = c.crossJoin(broadcast(centroids))
     w = Window.partitionBy(id_col).orderBy(
@@ -101,9 +108,14 @@ def assign_nearest_centroid(
     )
     return (
         x.withColumn("sim", cosine(F.col("v"), F.col("centroid")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("label").alias("assigned_label"), F.round("sim", 4).alias("sim"))
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            F.col(id_col),
+            F.col("label").alias("assigned_label"),
+            "probe_rank",
+            F.round("sim", 4).alias("sim"),
+        )
     )
 
 
@@ -113,24 +125,31 @@ def cosine_near_dups(
     id_col: str = "vec_id",
     label_col: str = "label",
     min_cosine: float = 0.9,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed: candidate pairs
     share a nearest-centroid partition (equi-join on the assigned label —
     never an all-pairs product), then exact cosine filters candidates to
     ``cosine >= min_cosine``. The pair join shuffles on the label key only;
     at corpus scale each partition is ~N/n_labels vectors, so the candidate
-    volume is ~1/n_labels of brute force. Standard single-probe IVF
-    trade-off: a near-dup pair straddling a centroid boundary is missed —
-    raise recall with multi-probe assignment or more hyperplane tables.
+    volume is ~1/n_labels of brute force.
+
+    ``nprobe=1`` has the standard single-probe IVF trade-off: a near-dup
+    pair straddling a centroid boundary is missed. ``nprobe > 1`` assigns
+    each vector its ``nprobe`` nearest centroids — a straddling pair then
+    shares at least one probed cluster, so recall strictly improves
+    (tests/test_training_ops.py measures it vs brute force) at ``nprobe``x
+    candidate volume; duplicate candidates from shared multi-probe labels
+    are collapsed by a final per-pair aggregate.
 
     Deterministic across engines (centroids rounded, cosine rounded before
     the threshold), so the DuckDB oracle replicates it exactly."""
     cents = label_centroids(corpus, vec_col, label_col).select(
         "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
     )
-    assigned = assign_nearest_centroid(corpus, cents, vec_col, id_col).select(
-        F.col(id_col), "assigned_label"
-    )
+    assigned = assign_nearest_centroid(
+        corpus, cents, vec_col, id_col, nprobe=nprobe
+    ).select(F.col(id_col), "assigned_label")
     c = corpus.join(assigned, id_col).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "assigned_label"
     )
@@ -145,7 +164,7 @@ def cosine_near_dups(
 
     c = register_cache(c.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = c.alias("a"), c.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.assigned_label") == F.col("b.assigned_label"))
@@ -157,6 +176,75 @@ def cosine_near_dups(
             F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
+    )
+    if nprobe > 1:
+        # a pair sharing several probed labels appears once per shared label
+        # — collapse after the threshold filter (cosine is identical across
+        # duplicates, so filtering first shrinks the dedup shuffle)
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine"))
+    return pairs
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage IVF ANN (the 100 TB scale path): coarse-quantize the corpus
+    to its nearest label-centroid (index build — single assignment, the
+    lake-persisted step at scale), then probe each query's ``nprobe``
+    nearest clusters with exact cosine and rank top-k per query.
+
+    Queries (small side, with their probe assignments) are broadcast; the
+    corpus is scanned once and NEVER shuffles — the label equi-join reaches
+    ~nprobe/n_labels of the brute-force candidate volume. ``nprobe > 1`` is
+    the boundary-miss remedy: a true neighbor in an adjacent cluster is
+    found when the query also probes that cluster, so recall vs brute force
+    strictly improves with nprobe (measured in tests/test_training_ops.py).
+    A (query, neighbor) pair can match at most once — the index assigns each
+    corpus vector ONE cluster — so no dedup stage is needed.
+
+    Deterministic: centroids rounded 8dp, ranking on cosine rounded 6dp with
+    neighbor-id tie-break (same contract as brute_force_topk)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(corpus, vec_col, label_col).select(
+            "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
+        )
+    )
+    idx = assign_nearest_centroid(corpus, cents, vec_col, id_col).select(
+        F.col(id_col), "assigned_label"
+    )
+    c = corpus.join(idx, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        "assigned_label",
+    )
+    q_probes = assign_nearest_centroid(
+        queries, cents, vec_col, id_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), F.col("assigned_label").alias("q_label"))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        .join(q_probes, "query_id")
+    )
+    scored = c.join(
+        broadcast(q),
+        (F.col("assigned_label") == F.col("q_label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )
 
 
