@@ -204,3 +204,65 @@ def test_contract_time_travel_and_rollback(spark, backend):
     # rollback restores it as the current state
     backend.rollback_to(v1)
     assert {k: v for k, (v, _) in _state(backend).items()} == {"a": "1"}
+
+
+def test_contract_concurrent_writer_conflict(spark, backend):
+    """Optimistic concurrency (round-3 verdict #3): two writers race the
+    same parent version; exactly one commit wins, the loser gets a
+    detectable conflict and succeeds on retry against the new parent.
+    (Iceberg enforces the same contract natively — CommitFailedException +
+    commit.retry.num-retries around the metadata-pointer swap; this case
+    pins our LakeTable side of the seam.)"""
+    import dataclasses
+
+    from wage_etl_spark.lake.table import SnapshotConflict
+
+    if backend.name != "lake":
+        pytest.skip("Iceberg resolves the race natively via commit retries")
+    t = backend.t
+    backend.append(_df(spark, [("a", "1", 1)], DDL))
+    cur = t.snapshot()
+    # both writers computed version = parent + 1 before either committed
+    w1 = dataclasses.replace(cur, version=cur.version + 1, parent=cur.version,
+                             operation="append")
+    w2 = dataclasses.replace(cur, version=cur.version + 1, parent=cur.version,
+                             operation="append")
+    t._write_snapshot(w1)
+    with pytest.raises(SnapshotConflict):
+        t._write_snapshot(w2)
+    # loser re-reads the table and retries against the winner's version
+    w2_retry = dataclasses.replace(w2, version=t.current_version() + 1,
+                                   parent=t.current_version())
+    t._write_snapshot(w2_retry)
+    assert t.current_version() == cur.version + 2
+    # history is a clean linear chain — no torn/duplicate versions
+    assert [s.version for s in t.history()] == list(range(1, cur.version + 3))
+
+
+def test_contract_expire_snapshots_gc_orphans(spark, backend):
+    """GC contract (round-3 verdict #3): a crash mid-write leaves data files
+    no snapshot references; expire_snapshots must delete BOTH expired-
+    version files and these orphans while every live file and the current
+    state survive. (Iceberg analog: expire_snapshots + remove_orphan_files.)"""
+    import os
+
+    if backend.name != "lake":
+        pytest.skip("Iceberg analog: CALL system.expire_snapshots/remove_orphan_files")
+    t = backend.t
+    backend.append(_df(spark, [("a", "1", 1)], DDL))
+    backend.merge(_df(spark, [("a", "2", 2, "U")]))
+    live_before = set(t.snapshot().all_files())
+
+    # simulate a writer that crashed after _write_files, before _commit
+    orphan_dir = os.path.join(t.data_dir, "deadbeefcrashed", "_b=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    spark.createDataFrame([("z", "9", 9)], DDL).toPandas().to_parquet(orphan)
+
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted >= 1
+    assert not os.path.exists(orphan)  # orphan GC'd
+    assert set(t.snapshot().all_files()) == live_before  # live files intact
+    for f in live_before:
+        assert os.path.exists(os.path.join(t.root, f))
+    assert {k: v for k, (v, _) in _state(backend).items()} == {"a": "2"}
