@@ -22,14 +22,37 @@ EVOLVABLE = ("lang_version",)
 class EpochSource:
     """Wraps a full events DataFrame (or parquet path) into per-epoch reads."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, path: str | None = None):
         self._df = df
+        self._path = path
         self._max_epoch: int | None = None
         self._dead_by_epoch: dict[int, list[str]] | None = None
 
     @staticmethod
     def from_parquet(spark: SparkSession, path: str) -> "EpochSource":
-        return EpochSource(spark.read.parquet(path))
+        return EpochSource(spark.read.parquet(path), path=path)
+
+    def epoch_rows(self, e: int) -> int | None:
+        """Row count of epoch ``e`` from parquet footers — a driver-side
+        metadata read, NO Spark job — when the source is backed by a local
+        ``partitionBy("epoch")`` directory; None otherwise (callers fall
+        back to a count job). Saves one scheduled job per epoch in the
+        fused apply, whose only other job is the fused write itself."""
+        if not self._path:
+            return None
+        import os
+
+        d = os.path.join(self._path, f"epoch={e}")
+        if not os.path.isdir(d):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return total
 
     def max_epoch(self) -> int:
         if self._max_epoch is None:

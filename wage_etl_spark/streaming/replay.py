@@ -110,6 +110,14 @@ class ReplayConfig:
     # between the manifest commit and the rebucket re-triggers it on resume
     # even if later epochs never rewrite the oversized bucket.
     rebucket_above_rows: int | None = None
+    # fused-mode shuffle width: each bucket is sub-split into this many
+    # key-pure salt partitions (salt = hash of the key, so LWW resolution
+    # stays partition-local), widening the single fused stage from
+    # num_buckets tasks to num_buckets*multiplier — a small-bucket-count
+    # table no longer caps the job at num_buckets cores. The write stays
+    # bucket-pure (multiplier files per bucket, adopted verbatim). None =
+    # auto: fill the session's cores (defaultParallelism/num_buckets, <=8).
+    fused_shuffle_multiplier: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -151,8 +159,13 @@ def apply_epoch(
     events: DataFrame,
     epoch: int,
     run_id: int,
+    events_in: int | None = None,
 ) -> dict:
     """Validate -> route (DLQ | LWW winners) -> MERGE -> manifest, one epoch.
+
+    ``events_in``: caller-known row count of ``events`` (e.g. from the epoch
+    source's parquet footers). Only the fused path needs it — the routed
+    path counts via a free Observation on its own scan.
 
     Physical strategy (scale rationale):
 
@@ -175,7 +188,9 @@ def apply_epoch(
     footers — counting never re-scans, and nothing is ever read back from
     the DLQ (which grows with every epoch)."""
     if cfg.dedup_strategy == "fused":
-        return _apply_epoch_fused(spark, cfg, target, dlq, manifest, events, epoch, run_id)
+        return _apply_epoch_fused(
+            spark, cfg, target, dlq, manifest, events, epoch, run_id, events_in
+        )
     import shutil
     import uuid as _uuid
 
@@ -372,6 +387,7 @@ def _apply_epoch_fused(
     events: DataFrame,
     epoch: int,
     run_id: int,
+    events_in: int | None = None,
 ) -> dict:
     """DENSE-epoch apply: ONE Spark job per epoch.
 
@@ -418,9 +434,12 @@ def _apply_epoch_fused(
     # counters WITHOUT an Observation: Observation.get deadlocks inside a
     # foreachBatch micro-batch (the listener event for the nested batch
     # action never fires), and fused runs under the streaming front-end
-    # too. events_in is a metadata-only parquet count (row-group footers,
-    # no data read); quarantined comes from the DLQ output files' footers.
-    events_in = events.count()
+    # too. events_in comes from the caller when the epoch source knows it
+    # from parquet footers (EpochSource.epoch_rows — zero jobs), else from
+    # a metadata-only count (row-group footers, no data read); quarantined
+    # comes from the DLQ output files' footers.
+    if events_in is None:
+        events_in = events.count()
 
     payload_cols = [c for c in events.columns if c != "epoch"]
     raw_json = F.to_json(
@@ -501,10 +520,25 @@ def _apply_epoch_fused(
         f.name for f in schema.fields
         if f.name not in key_cols and f.name not in ordering_ext
     ]
-    bucketed = unioned.withColumn(
-        "_b", bucket_expr(key_cols, snap.num_buckets)
-    ).repartition(snap.num_buckets, "_b")
-    w = Window.partitionBy("_b").orderBy(
+    # shuffle width: sub-split each bucket into key-pure salt partitions so
+    # the single fused stage runs num_buckets*mult tasks instead of being
+    # capped at num_buckets — the salt is a hash OF THE KEY (decorrelated
+    # from the bucket hash by a constant), so every key's rows still land in
+    # exactly one partition and the bucket-local LWW sort stays correct; the
+    # write stays bucket-pure with mult files per bucket.
+    mult = cfg.fused_shuffle_multiplier
+    if mult is None:
+        mult = max(1, min(8, spark.sparkContext.defaultParallelism // snap.num_buckets))
+    part_cols = ["_b"]
+    bucketed = unioned.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
+    if mult > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5417)), F.lit(mult)
+        ).cast("int")
+        bucketed = bucketed.withColumn("_salt", salt)
+        part_cols = ["_b", "_salt"]
+    bucketed = bucketed.repartition(snap.num_buckets * mult, *part_cols)
+    w = Window.partitionBy(*part_cols).orderBy(
         *[F.col(c).asc() for c in key_cols],
         F.col("_qid").asc(),
         *[F.col(c).desc() for c in ordering_ext],
@@ -527,7 +561,7 @@ def _apply_epoch_fused(
             schema = StructType(list(schema.fields) + [StructField("is_deleted", BooleanType())])
     else:
         merged = merged.filter((F.col("_route") == "dlq") | (F.col("_op") != "D"))
-    result = merged.drop("_qid", "_is_source", "_op")
+    result = merged.drop("_qid", "_is_source", "_op", "_salt")
 
     epoch_tmp = os.path.join(cfg.warehouse, "_epoch_tmp", _uuid.uuid4().hex)
     try:
@@ -628,7 +662,11 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
 
     for e in range(last + 1, stop + 1):
         _t0 = _time.monotonic()
-        res = apply_epoch(spark, cfg, target, dlq, manifest, source.epoch(e), e, run_id)
+        known_rows = getattr(source, "epoch_rows", None)
+        res = apply_epoch(
+            spark, cfg, target, dlq, manifest, source.epoch(e), e, run_id,
+            events_in=known_rows(e) if known_rows else None,
+        )
         res["epoch_wall_s"] = round(_time.monotonic() - _t0, 3)
         log.info("epoch %s: %s", e, res)
         results.append(res)
