@@ -63,8 +63,19 @@ SCALING_LEVELS = [
     int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "1,4,16").split(",")
 ]
 # interleaved rounds; each round takes ONE timed iteration per level,
-# back-to-back in time, so per-round pair efficiencies cancel host drift
-SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+# back-to-back in time, so per-round pair efficiencies cancel host drift.
+# Round 4: raised 5 -> 9 so the median has headroom after the outlier rule
+# below removes CPU-steal-contaminated rounds.
+SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "9"))
+# PRE-REGISTERED outlier rule (stated here and in BENCH/BASELINE.md BEFORE
+# any measurement; round-3 verdict: one host CPU-steal burst inside a round
+# hits ONE level's wall and the paired ratio no longer cancels it). A round
+# is contaminated iff EITHER level's wall in that round exceeds
+# SCALING_OUTLIER_FACTOR x that level's median across all rounds; the
+# PRIMARY statistic is the median of per-round efficiencies over the
+# remaining rounds. The unfiltered median and every raw wall are reported
+# alongside — the rule drops rounds, never edits numbers.
+SCALING_OUTLIER_FACTOR = float(os.environ.get("BENCH_SCALING_OUTLIER_FACTOR", "1.5"))
 # scaling stream size: defaults to the headline stream (reused, no second
 # synthesis). Below ~10M events the per-epoch serial floor (~2 s: merge
 # tail, snapshot/manifest commit, job scheduling) caps 1->4 efficiency near
@@ -212,6 +223,69 @@ def run_multi_epoch(spark, n_events: int) -> dict:
             "elapsed_s": round(elapsed, 3),
             "events_per_sec": round(n / elapsed, 1),
             "mean_epoch_phase_s": phases,
+            "verify_equal": report["equal"],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_streaming(spark, n_events: int) -> dict:
+    """North-rule live-tail shape: the SAME pipeline fed by Structured
+    Streaming (readStream file tail -> foreachBatch -> fused epoch apply,
+    tombstones forced) instead of the batch epoch loop. maxFilesPerTrigger
+    slices the stream into micro-batches sized like the multi-epoch bench's
+    epochs, so events/s here vs the batch replay IS the exactly-once
+    streaming overhead (checkpoint round-trips + unordered micro-batch
+    tombstone bookkeeping) the design doc previously asserted without
+    measurement. Final state is sha256-verified against the independent
+    window-based reference replay."""
+    from wage_etl_spark.sources.synth import synthesize_events
+    from wage_etl_spark.streaming.replay import (
+        ReplayConfig, open_tables, reference_state, verify_state,
+    )
+    from wage_etl_spark.streaming.structured import start_stream, stream_events
+
+    from pyspark.sql import functions as F
+
+    n_batches = MULTI_EPOCHS
+    files_per_batch = 4
+    tmp = _mkdtemp("bench_stream_")
+    try:
+        ev = synthesize_events(
+            spark,
+            n_events=n_events,
+            n_keys=max(n_events // 50, 100),
+            n_epochs=1,
+            invalid_frac=0.02,
+        )
+        if CONTENT_MAX:
+            ev = ev.withColumn("content", F.substring("content", 1, CONTENT_MAX))
+        events_path = os.path.join(tmp, "ev")
+        ev.repartition(n_batches * files_per_batch).write.mode("overwrite").parquet(events_path)
+        schema = spark.read.parquet(events_path).schema
+        cfg = ReplayConfig(
+            warehouse=os.path.join(tmp, "wh"), num_buckets=16,
+            dedup_strategy="fused", keep_tombstones=True,
+        )
+        stream = stream_events(
+            spark, events_path, schema, max_files_per_trigger=files_per_batch
+        )
+        t0 = time.monotonic()
+        q = start_stream(
+            spark, cfg, stream, checkpoint_dir=os.path.join(tmp, "ckpt"),
+            trigger_once=True,
+        )
+        q.awaitTermination()
+        elapsed = time.monotonic() - t0
+        target, _dlq, manifest = open_tables(spark, cfg)
+        report = verify_state(spark, target, reference_state(spark.read.parquet(events_path)))
+        n_batches_run = manifest.read().select("epoch").distinct().count()
+        return {
+            "events": n_events,
+            "micro_batches": n_batches_run,
+            "max_files_per_trigger": files_per_batch,
+            "elapsed_s": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1),
             "verify_equal": report["equal"],
         }
     finally:
@@ -478,10 +552,27 @@ def run_scaling(events_path: str) -> dict:
         ratio = hi / lo
         lo_t, hi_t = per_level[lo], per_level[hi]
         effs = [round((a / b) / ratio, 3) for a, b in zip(lo_t, hi_t)]
+        # pre-registered CPU-steal detector (see SCALING_OUTLIER_FACTOR):
+        # a round is dropped iff either level's wall exceeds
+        # factor x that level's median — the paired ratio only cancels host
+        # noise that spans the WHOLE round, so a burst inside one level's
+        # iteration contaminates exactly this kind of round
+        med_lo, med_hi = statistics.median(lo_t), statistics.median(hi_t)
+        kept = [
+            i for i in range(len(effs))
+            if lo_t[i] <= SCALING_OUTLIER_FACTOR * med_lo
+            and hi_t[i] <= SCALING_OUTLIER_FACTOR * med_hi
+        ]
+        effs_kept = [effs[i] for i in kept] or effs  # all-dropped: fall back
         lo_l, hi_l = levels[str(lo)], levels[str(hi)]
         pairs[f"{lo}->{hi}"] = {
-            # primary: median of per-round (temporally paired) efficiencies
-            "efficiency_median": round(statistics.median(effs), 3),
+            # PRIMARY: median of per-round (temporally paired) efficiencies
+            # over rounds surviving the pre-registered outlier rule
+            "efficiency_median": round(statistics.median(effs_kept), 3),
+            "rounds_dropped": [i for i in range(len(effs)) if i not in kept],
+            "outlier_factor": SCALING_OUTLIER_FACTOR,
+            # the same median with NO rounds dropped (round-3 statistic)
+            "efficiency_median_raw": round(statistics.median(effs), 3),
             "efficiency_min": min(effs),
             "efficiency_max": max(effs),
             "per_round": effs,
@@ -502,38 +593,50 @@ def write_bench_md(cdc: dict) -> None:
             f"{lv['events_per_sec_median']:,} | {lv['iterations_s']} |"
         )
     pair_rows = [
-        f"| {name} | {p['efficiency_median']} | {p['efficiency_min']}-{p['efficiency_max']} "
+        f"| {name} | **{p['efficiency_median']}** | {p['rounds_dropped'] or '—'} "
+        f"| {p['efficiency_median_raw']} | {p['efficiency_min']}-{p['efficiency_max']} "
         f"| {p['per_round']} | {p['efficiency_pooled_median']} | {p['efficiency_best']} |"
         for name, p in sc["pairs"].items()
     ]
     me = cdc.get("multi_epoch", {})
+    st = cdc.get("streaming", {})
     sk = cdc.get("skew", {})
     md = f"""# BENCH — measured numbers
 
 ## CDC merge-apply throughput (north rule)
 
 Same job, same synthesized input ({sc['levels'][str(SCALING_LEVELS[0])]['events']:,}
-events, one commit epoch, 2% invalid, content <= {CONTENT_MAX} B), run at
+events, one commit epoch, 2% invalid, content <= {CONTENT_MAX} B,
+dedup_strategy=shuffle — the 10^10-key default), run at
 {len(sc['levels'])} parallelism levels — the sandbox proxy for N vs 4N
-executors. Methodology (round 3): one persistent pre-warmed server JVM per
-level; {sc['iters_per_level']} interleaved rounds, each running the levels
-strictly one-at-a-time BACK-TO-BACK in time (order alternating per round);
-the pair efficiency is computed PER ROUND from that round's adjacent times,
-so a host slowdown spanning a round scales both walls and divides out —
-host noise on this box is multiplicative (CPU steal), which is why paired
-ratios reproduce when pooled medians do not. Shuffle partitions fixed
-across levels (sized for the data, not the cores); all bench I/O on tmpfs
-(/dev/shm) because on a real cluster scan/shuffle/write bandwidth scales
-with executors while this VM's one shared disk does not. The PRIMARY
-statistic is the median of per-round efficiencies; the full distribution is
-listed.
+executors. Methodology (round 3, hardened round 4): one persistent
+pre-warmed server JVM per level; {sc['iters_per_level']} interleaved rounds,
+each running the levels strictly one-at-a-time BACK-TO-BACK in time (order
+alternating per round); the pair efficiency is computed PER ROUND from that
+round's adjacent times, so a host slowdown spanning a round scales both
+walls and divides out — host noise on this box is multiplicative (CPU
+steal), which is why paired ratios reproduce when pooled medians do not.
+Shuffle partitions fixed across levels (sized for the data, not the cores);
+all bench I/O on tmpfs (/dev/shm) because on a real cluster
+scan/shuffle/write bandwidth scales with executors while this VM's one
+shared disk does not.
+
+**PRE-REGISTERED outlier rule** (fixed in bench.py BEFORE any measurement;
+round-3 verdict: a CPU-steal burst inside ONE level's iteration is exactly
+what the per-round pairing cannot cancel): a round is contaminated iff
+either level's wall in that round exceeds
+{SCALING_OUTLIER_FACTOR}x that level's median across all rounds. The
+PRIMARY statistic is the median of per-round efficiencies over the
+SURVIVING rounds; the rule drops whole rounds, never edits numbers, and the
+unfiltered median plus every raw wall is listed below so the filter's
+effect is fully auditable.
 
 | parallelism | median wall (s) | best (s) | events/s (median) | all iterations (s) |
 |---|---|---|---|---|
 {chr(10).join(rows)}
 
-| pair | efficiency (median of per-round) | min-max | per-round | pooled-median | best |
-|---|---|---|---|---|---|
+| pair | efficiency (primary: filtered median) | rounds dropped | raw median | min-max | per-round | pooled-median | best |
+|---|---|---|---|---|---|---|---|
 {chr(10).join(pair_rows)}
 
 Efficiency = (T_low / T_high) / (cores_high / cores_low); target >= 0.8
@@ -570,6 +673,22 @@ events) that floor is a large fraction of each epoch's work; at the
 10^10-event design scale an epoch is >=10^8 events and the same fixed cost
 amortizes below 2%. Exactly-once bookkeeping itself (manifest + snapshot
 tags) measures in milliseconds per epoch.
+
+## Structured Streaming front-end (live-tail shape)
+
+The SAME pipeline fed by ``readStream`` file tailing + ``foreachBatch``
+(streaming/structured.py): {st.get('micro_batches', '?')} micro-batches
+(maxFilesPerTrigger={st.get('max_files_per_trigger', '?')}) over
+{st.get('events', 0):,} events, fused apply with FORCED tombstones
+(micro-batch boundaries are unordered, so deletes must leave a trace), the
+same exactly-once manifest/snapshot protocol keyed by batch id.
+**{st.get('events_per_sec', '?'):,} events/s** ({st.get('elapsed_s', '?')} s)
+vs {me.get('events_per_sec', '?'):,} events/s for the equivalent batch
+multi-epoch replay — the gap IS the measured exactly-once streaming
+overhead (streaming-checkpoint round-trips per micro-batch + per-batch
+count jobs the batch path answers from parquet footers + tombstone
+bookkeeping). verify_equal={st.get('verify_equal')} (sha256 vs the
+independent window-based reference replay).
 
 ## Hot-key skew (one key = {int(sk.get('hot_key_frac', 0.5) * 100)}% of {sk.get('events', 0):,} events)
 
@@ -621,6 +740,7 @@ def main() -> None:
         cdc = run_cdc_replay(spark, events_path, wh, num_buckets=max(2 * CPUS, 32), verify=True)
         shutil.rmtree(wh, ignore_errors=True)
         cdc["multi_epoch"] = run_multi_epoch(spark, CDC_EVENTS)
+        cdc["streaming"] = run_streaming(spark, CDC_EVENTS)
         cdc["skew"] = run_skew_case(spark)
         # scaling stream: reuse the headline stream unless a different size
         # was requested
