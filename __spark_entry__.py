@@ -475,6 +475,26 @@ def q_embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with QUERY-SIDE MULTI-PROBE (nprobe=2): each query probes its
+    two nearest centroids, recovering true neighbors that sit in an adjacent
+    cluster (the single-probe boundary miss) at 2x probe volume — corpus
+    index stays single-assigned, so a (query, neighbor) pair still matches
+    at most once and needs no dedup. Hash-verified against a DuckDB oracle
+    that replays both probe ranks. operators/similarity.py::ivf_ann_topk."""
+    from wage_etl_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = ivf_ann_topk(emb, queries, "embedding", "vec_id", "label", k=3, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
 def q_hyperplane_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH bucket per embedding vector (the ANN bucketing
     primitive: cosine-similar vectors collide per-bit with prob 1-theta/pi).
@@ -720,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_ann_multiprobe": q_embedding_ann_multiprobe,
         "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
     }
 
@@ -1177,6 +1198,54 @@ def oracle_sql() -> dict[str, str]:
             ), q AS (
               SELECT vec_id AS query_id, embedding AS qv, assigned_label AS q_label
               FROM corpus WHERE vec_id % 97 = 0
+            ), scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     {_cos('q.qv', 'c.embedding')} AS cos_exact
+              FROM corpus c JOIN q ON c.assigned_label = q.q_label AND c.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(cos_exact, 6) DESC, neighbor_id ASC) AS rank,
+                     cos_exact
+              FROM scored
+            )
+            SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+                   rank::BIGINT AS rank, round(cos_exact, 4) AS cosine
+            FROM ranked WHERE rank <= 3
+        """,
+        # ivf_ann_topk at nprobe=2: same construction, but each query joins
+        # through BOTH of its top-2 centroid labels (probe ranks rn <= 2);
+        # the corpus index stays single-assigned so no pair dedup is needed.
+        "embedding_ann_multiprobe": f"""
+            WITH comp AS (
+              SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 8) AS v
+              FROM embeddings, generate_series(1, 64) AS t(i)
+              GROUP BY label, i
+            ), cents AS (
+              SELECT label, list(v ORDER BY pos) AS centroid FROM comp GROUP BY label
+            ), scored0 AS (
+              SELECT e.vec_id, c.label, {_cos('e.embedding', 'c.centroid')} AS sim_exact
+              FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, label AS assigned_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim_exact, 6) DESC, label ASC) AS rn
+                FROM scored0
+              ) WHERE rn = 1
+            ), corpus AS (
+              SELECT e.vec_id, e.embedding, a.assigned_label
+              FROM embeddings e JOIN assigned a USING (vec_id)
+            ), qprobe AS (
+              SELECT vec_id AS query_id, label AS q_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim_exact, 6) DESC, label ASC) AS rn
+                FROM scored0 WHERE vec_id % 97 = 0
+              ) WHERE rn <= 2
+            ), q AS (
+              SELECT p.query_id, e.embedding AS qv, p.q_label
+              FROM qprobe p JOIN embeddings e ON e.vec_id = p.query_id
             ), scored AS (
               SELECT q.query_id, c.vec_id AS neighbor_id,
                      {_cos('q.qv', 'c.embedding')} AS cos_exact

