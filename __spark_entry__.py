@@ -475,6 +475,28 @@ def q_embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step a dedup pipeline actually
+    ships: connected components over the verified LSH near-dup pairs, every
+    doc labeled with the min doc id of its component (singletons label
+    themselves), keep-one = filter cluster_id == doc_id. Spark side is
+    pointer-jumping min-label propagation (operators/dedupe.dedup_clusters,
+    O(log diameter) rounds, ids only — text never enters the loop); oracle
+    is a DuckDB RECURSIVE transitive closure over the same pairs — a
+    completely different algorithm, so agreement checks the semantics."""
+    from wage_etl_spark.operators.dedupe import dedup_clusters, lsh_jaccard_verified
+
+    d = _t(spark, sf, "documents")
+    pairs = lsh_jaccard_verified(
+        d, "text", "doc_id", num_hashes=16, bands=8, k=3, min_jaccard=0.5
+    )
+    out = dedup_clusters(pairs, nodes=d.select("doc_id"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_embedding_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with QUERY-SIDE MULTI-PROBE (nprobe=2): each query probes its
     two nearest centroids, recovering true neighbors that sit in an adjacent
@@ -742,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_ann_multiprobe": q_embedding_ann_multiprobe,
         "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1142,6 +1165,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jaccard, 4) AS jaccard
             FROM verified WHERE jaccard >= 0.5
+        """,
+        # Oracle for operators/dedupe.py:dedup_clusters — the SAME verified
+        # LSH pair pipeline, then a RECURSIVE transitive closure (a totally
+        # different algorithm from the Spark side's pointer-jumping
+        # propagation): reach(n, m) = m reachable from n, cluster = min(m).
+        "dedup_clusters": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       j -> list_min(list_transform({shingles},
+                              s -> ('0x' || substr(md5(s || '#' || (j // 4)), (j % 4) * 8 + 1, 8))::BIGINT))) AS signature
+              FROM documents
+            ), banded AS (
+              SELECT doc_id, b AS band_id,
+                     md5(array_to_string(signature[b*2+1:b*2+2], ',')) AS band_hash
+              FROM sig, generate_series(0, 7) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+            ), verified AS (
+              SELECT id_a, id_b,
+                     len(list_distinct(list_intersect(sa, sb)))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa, sb))), 1) AS jaccard
+              FROM (
+                SELECT c.id_a, c.id_b,
+                       {_shingles_of('d1.text')} AS sa,
+                       {_shingles_of('d2.text')} AS sb
+                FROM cand c
+                JOIN documents d1 ON d1.doc_id = c.id_a
+                JOIN documents d2 ON d2.doc_id = c.id_b
+              )
+            ), near AS (
+              SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM near
+              UNION
+              SELECT id_b, id_a FROM near
+            ), reach(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, r.m FROM edges e JOIN reach r ON r.n = e.b
+            )
+            SELECT n::BIGINT AS doc_id, min(m)::BIGINT AS cluster_id
+            FROM reach GROUP BY n
         """,
         # IVF two-stage ANN: centroid assignment (as embedding_centroids),
         # then exact cosine top-3 probing only the query's cluster

@@ -262,3 +262,20 @@ def test_ivf_ann_topk_multiprobe_recall_improves(spark):
     r2 = len(found(2) & exact) / len(exact)
     assert r1 < r2
     assert r2 == 1.0  # two clusters: probing both is exhaustive
+
+
+def test_dedup_clusters_chain_and_singleton(spark):
+    """Connected components: a 5-node chain (worst case for plain
+    propagation — pointer jumping must still converge), a 2-clique, and an
+    isolated node supplied via nodes= (clusters to itself)."""
+    from wage_etl_spark.operators.dedupe import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(99,), (1,)], "doc_id long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes=nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}

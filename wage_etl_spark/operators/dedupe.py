@@ -230,6 +230,70 @@ def lsh_jaccard_verified(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the MINIMUM doc id in the component (the canonical
+    keeper: a dedup pipeline drops every doc whose cluster_id != doc_id).
+
+    ``nodes`` (optional, first column = id) adds docs that appear in no
+    pair — singletons cluster to themselves — so the output covers the
+    whole corpus, not just the near-dup subgraph.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round (a)
+    takes the min label over self + neighbors, then (b) jumps each label to
+    its label's label — so convergence is O(log(component diameter)) rounds,
+    not O(diameter). Near-dup components are quasi-cliques (LSH candidates
+    within a bucket), so this is 2-3 rounds in practice.
+
+    Scale shape: every round is two equi-joins + a min-aggregate over
+    (id, label) pairs — ~16 B/row, document text never enters the loop; the
+    edge list is shuffled once per round on small integer keys and each
+    round's result is ``localCheckpoint``ed so the plan does not grow with
+    iterations (the standard iterative-algorithm hygiene on Spark). Returns
+    a deterministic assignment (min is order-independent)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ids = edges.select(F.col("src").alias("id"))
+    if nodes is not None:
+        ids = ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    labels = ids.distinct().withColumn("label", F.col("id")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nb"))
+        )
+        stepped = (
+            labels.join(nb, labels["id"] == nb["src"], "left")
+            .select(
+                F.col("id"),
+                F.col("label").alias("_old"),
+                F.least(F.col("label"), F.coalesce(F.col("_nb"), F.col("label"))).alias("_l1"),
+            )
+        )
+        # pointer jump: label <- label(label); label ids always exist in the
+        # label table (a label is itself a node id)
+        lookup = stepped.select(F.col("id").alias("_lid"), F.col("_l1").alias("_llabel"))
+        jumped = (
+            stepped.join(lookup, stepped["_l1"] == lookup["_lid"])
+            .select(
+                "id", "_old", F.least(F.col("_l1"), F.col("_llabel")).alias("label")
+            )
+        ).localCheckpoint()
+        changed = jumped.filter(F.col("label") != F.col("_old")).count()
+        labels = jumped.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard(
     df_pairs: DataFrame, text_a: str, text_b: str, k: int = 3
 ) -> DataFrame:
