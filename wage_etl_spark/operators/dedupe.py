@@ -258,12 +258,15 @@ def dedup_clusters(
     iterations (the standard iterative-algorithm hygiene on Spark). Returns
     a deterministic assignment (min is order-independent)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # checkpoint edges FIRST: labels derive from the materialized edges, so
+    # an expensive upstream pair pipeline (LSH + verify) runs exactly once
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     ids = edges.select(F.col("src").alias("id"))
     if nodes is not None:
         ids = ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))
     labels = ids.distinct().withColumn("label", F.col("id")).localCheckpoint()
-    edges = edges.localCheckpoint()
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges["dst"] == labels["id"])
