@@ -71,3 +71,22 @@ def test_argmax_plan_has_partial_aggregate(spark):
     plan = dedup_lww(ev, KEYS, ORDER)._jdf.queryExecution().sparkPlan().toString()
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_operator_cache_registry_releases(spark):
+    """Operators register their persists; release_operator_caches drops
+    them all (round-3 ADVICE: long sessions must not accumulate caches)."""
+    from wage_etl_spark.operators.caching import (
+        _LIVE, register_cache, release_operator_caches,
+    )
+
+    release_operator_caches()  # clean slate
+    df = spark.range(10).persist()
+    register_cache(df)
+    df.count()
+    assert df.storageLevel.useMemory
+    n = release_operator_caches(blocking=True)
+    assert n >= 1 and not _LIVE
+    assert not df.storageLevel.useMemory  # unpersisted
+    # releasing again is a safe no-op
+    assert release_operator_caches() == 0

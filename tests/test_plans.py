@@ -117,3 +117,28 @@ def test_html_lifecycle_is_arrow_only(spark):
     JVM-side Column expressions — no row-at-a-time Python anywhere."""
     r = assert_plan(em.q_html_extract_lifecycle(spark, SF), no_row_python=True)
     assert r.has_arrow_udf  # the mapInPandas page parser
+
+
+def test_lsh_verified_byte_gate_demotes_text_attach_join(spark):
+    """Round-3 ADVICE: the SECOND text-attach join's build side carries
+    document text, so its broadcast must be gated on estimated BYTES, not
+    pair count. With a tiny byte cap the id_b join must fall back to
+    SortMergeJoin while the bare-pair id_a join keeps its broadcast."""
+    from wage_etl_spark.operators.dedupe import lsh_jaccard_verified
+    from wage_etl_spark.plans.lint import _pre_aqe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gated = lsh_jaccard_verified(
+            d, "text", "doc_id",
+            broadcast_max_pairs=10**9, broadcast_max_bytes=1,
+        )
+        plan = _pre_aqe(gated).splitlines()
+        a_lines = [ln for ln in plan if "Join [id_a#" in ln]
+        b_lines = [ln for ln in plan if "Join [id_b#" in ln]
+        assert a_lines and all("BroadcastHashJoin" in ln for ln in a_lines), a_lines
+        assert b_lines and all("SortMergeJoin" in ln for ln in b_lines), b_lines
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -79,3 +79,62 @@ def test_replay_equals_oracle_on_random_streams(spark, stream):
         assert dlq.read().count() == n_quar
         assert sum(r["quarantined"] for r in results) == n_quar
         assert sum(r["valid"] for r in results) == n_valid
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda t: t[0] != t[1]),
+        max_size=60,
+    ),
+    extra_nodes=st.lists(st.integers(0, 60), max_size=10),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_dedup_clusters_equals_union_find_on_random_graphs(spark, edges, extra_nodes):
+    """dedup_clusters (pointer-jumping propagation) vs a pure-Python
+    union-find oracle on arbitrary random graphs — paths, cycles, forests,
+    self-free multi-edges, isolated nodes."""
+    from wage_etl_spark.operators.dedupe import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    for n in extra_nodes:
+        find(n)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        edges or [(0, 1)], "id_a long, id_b long"
+    )
+    if not edges:
+        expected.setdefault(0, 0)
+        expected[0] = 0
+        expected[1] = 0
+        union(0, 1)
+        expected = {n: find(n) for n in parent}
+    nodes = (
+        spark.createDataFrame([(n,) for n in extra_nodes], "doc_id long")
+        if extra_nodes
+        else None
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes=nodes).collect()
+    }
+    assert got == expected
