@@ -142,3 +142,35 @@ def test_lsh_verified_byte_gate_demotes_text_attach_join(spark):
         assert b_lines and all("SortMergeJoin" in ln for ln in b_lines), b_lines
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_multiprobe_ann_broadcasts_and_no_row_python(spark):
+    """ivf_ann_topk at nprobe=2: centroids and the probed query set are
+    broadcast (corpus never shuffles for the probe join); vector math stays
+    JVM-side — no BatchEvalPython anywhere."""
+    r = assert_plan(
+        em.q_embedding_ann_multiprobe(spark, SF), broadcast=True, no_row_python=True
+    )
+    assert not r.has_python_row_udf
+
+
+def test_hyperplane_buckets_single_scan_jvm_only(spark):
+    """Hyperplane bucketing is one corpus scan of pure Column expressions:
+    no join, no shuffle, no Python."""
+    r = assert_plan(em.q_hyperplane_lsh_buckets(spark, SF), no_row_python=True)
+    assert r.plan.count("FileScan") == 1, r.plan
+    assert "Exchange" not in r.plan, r.plan
+
+
+def test_dedup_clusters_loop_is_ids_only(spark):
+    """The component-propagation loop must never carry document text: after
+    the edge checkpoint, every scanned column is an id/label (the loop's
+    join+aggregate plans read 16-byte rows, not documents)."""
+    from wage_etl_spark.operators.dedupe import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    out = dedup_clusters(pairs)
+    r = plan_report(out)
+    assert not r.has_python_row_udf
+    # the returned plan reads only the checkpointed (id, label) data
+    assert "text" not in r.plan and "content" not in r.plan, r.plan
