@@ -771,7 +771,45 @@ def main() -> None:
         "sf": _sf_value(SF_DIR),
         "cdc": cdc,
     }
-    print(json.dumps(result))
+    # full detail to a file; the PRINTED line is slimmed so it fits the
+    # caller's stdout tail buffer whole (rounds 2-3 recorded parsed=null —
+    # the full nested scaling arrays pushed the line past the buffer and
+    # truncated the JSON mid-line). BENCH/BASELINE.md + last_run_full.json
+    # carry every raw wall.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    me, st, sc = cdc.get("multi_epoch", {}), cdc.get("streaming", {}), cdc.get("scaling", {})
+    slim = dict(result)
+    slim["cdc"] = {
+        "events": cdc.get("events"),
+        "events_per_sec": cdc.get("events_per_sec"),
+        "verify_equal": cdc.get("verify_equal"),
+        "verify_s": cdc.get("verify_s"),
+        "quarantined": cdc.get("quarantined"),
+        "multi_epoch": {
+            k: me.get(k)
+            for k in ("events_per_sec", "epochs", "resumed_at_epoch", "verify_equal")
+        },
+        "streaming": {
+            k: st.get(k) for k in ("events_per_sec", "micro_batches", "verify_equal")
+        },
+        "scaling": {
+            "pairs": {
+                name: {
+                    k: p.get(k)
+                    for k in (
+                        "efficiency_median", "rounds_dropped",
+                        "efficiency_median_raw", "outlier_factor",
+                    )
+                }
+                for name, p in sc.get("pairs", {}).items()
+            },
+            "iters_per_level": sc.get("iters_per_level"),
+        },
+        "full_detail": "BENCH/last_run_full.json, BENCH/BASELINE.md",
+    }
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":
