@@ -3,7 +3,8 @@
 `entry(spark)` smoke-runs the flagship CDC last-writer-wins query at
 sf0.001; `queries()` exposes each implemented operator from SURVEY.md §2 as
 (spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-equivalent SQL.
-Every queries() entry has an oracle_sql() entry (27/27 hash-verifiable).
+Every queries() entry has an oracle_sql() entry (all hash-verifiable;
+32/32 green in CORRECTNESS_r04).
 
 Parity rules used throughout (so the driver's value-hash matches):
 - every computed column is aliased identically on both sides;

@@ -12,6 +12,12 @@ Contract: operators register every persist here; a session owner calls
 ``release_operator_caches()`` between logical queries (bench.py does, after
 each timed query). Unpersisting is always SAFE — a dropped cache recomputes
 from lineage — so callers may release at any point.
+
+Single-owner assumption: the registry is module-global and NOT thread-safe.
+It is meant for the session owner (the bench loop / the replay driver) to
+call between queries it runs itself; releasing while another thread's query
+is mid-flight would drop that query's caches (they recompute — correct but
+slow). Concurrent multi-query sessions should scope persists themselves.
 """
 
 from __future__ import annotations
@@ -35,6 +41,10 @@ def release_operator_caches(blocking: bool = False) -> int:
         try:
             df.unpersist(blocking)
             n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
+        except Exception as exc:
+            # Only a stopped/cancelled session is an expected no-op; anything
+            # else is a real unpersist failure and must not vanish silently.
+            msg = str(exc).lower()
+            if not ("stopped" in msg or "cancelled" in msg or "closed" in msg):
+                raise
     return n

@@ -51,6 +51,17 @@ def dedup_lww(
     updated 10^7 times in an epoch) spreads across S reducers before the
     final per-key argmax. With salt_buckets=0 Catalyst's partial aggregation
     already handles garden-variety skew.
+
+    When to salt (measured guidance, BENCH/BASELINE.md skew section): at
+    sf0.1 with one key carrying 50% of 10M events, plain argmax beat
+    salt_buckets=64 (3.10 s vs 4.71 s) — the map-side partial aggregate
+    already collapses the hot key per input partition, and the extra
+    shuffle round costs more than it saves. Salting only pays when a single
+    key's POST-partial-aggregate volume still overwhelms one reducer, i.e.
+    hot-key rows spread over more input partitions than a reducer can
+    drain: as an order of magnitude, reach for salt_buckets only when one
+    key exceeds ~10^8 events AND the job runs on hundreds of partitions;
+    below that, leave it 0 and let AQE's skew-join/partial-agg path work.
     """
     payload = [c for c in df.columns if c not in key_cols]
     tail = [c for c in payload if c not in ordering_cols]

@@ -215,11 +215,16 @@ def lsh_jaccard_verified(
             # identity: let the planner/AQE decide
             pair_hint = attach_hint = lambda d: d  # noqa: E731
         else:
+            # octet_length (bytes, not chars — UTF-8 text is 2-4x chars) plus
+            # a 2x safety factor for in-memory broadcast row overhead, so the
+            # cap errs toward shuffle rather than driver OOM on non-ASCII.
             avg_len = (
-                df.select(F.avg(F.length(F.col(text_col))).alias("l")).first()["l"]
+                df.select(F.avg(F.octet_length(F.col(text_col))).alias("l")).first()[
+                    "l"
+                ]
                 or 0.0
             )
-            if n_pairs * (avg_len + 48) > broadcast_max_bytes:
+            if n_pairs * (avg_len + 48) * 2 > broadcast_max_bytes:
                 attach_hint = lambda d: d  # noqa: E731
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
@@ -253,10 +258,16 @@ def dedup_clusters(
 
     Scale shape: every round is two equi-joins + a min-aggregate over
     (id, label) pairs — ~16 B/row, document text never enters the loop; the
-    edge list is shuffled once per round on small integer keys and each
-    round's result is ``localCheckpoint``ed so the plan does not grow with
-    iterations (the standard iterative-algorithm hygiene on Spark). Returns
-    a deterministic assignment (min is order-independent)."""
+    edge list is shuffled once per round on small integer keys. Each round
+    runs exactly ONE Spark action: the round result is persisted and the
+    convergence check is a single slim aggregate over it, which both
+    materializes the cache and returns the changed-row count (the previous
+    round's cache is released immediately after). Execution plans stay
+    bounded because each round reads the prior round's InMemoryRelation,
+    not its recomputed lineage. Raises ``RuntimeError`` if ``max_iter``
+    rounds elapse without convergence — silent wrong labels are never
+    returned. Returns a deterministic assignment (min is
+    order-independent)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # checkpoint edges FIRST: labels derive from the materialized edges, so
     # an expensive upstream pair pipeline (LSH + verify) runs exactly once
@@ -267,6 +278,10 @@ def dedup_clusters(
     if nodes is not None:
         ids = ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))
     labels = ids.distinct().withColumn("label", F.col("id")).localCheckpoint()
+    from pyspark import StorageLevel
+
+    prev_cache: DataFrame | None = None
+    converged = False
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -289,11 +304,31 @@ def dedup_clusters(
             .select(
                 "id", "_old", F.least(F.col("_l1"), F.col("_llabel")).alias("label")
             )
-        ).localCheckpoint()
-        changed = jumped.filter(F.col("label") != F.col("_old")).count()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # ONE action: the aggregate scan populates the cache AND returns the
+        # changed count — no separate materialization job per round.
+        changed = (
+            jumped.agg(
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("c")
+            ).first()["c"]
+            or 0
+        )
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = jumped
         labels = jumped.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} rounds; "
+            "labels would be incorrect — raise max_iter (rounds grow "
+            "O(log component diameter))"
+        )
+    from wage_etl_spark.operators.caching import register_cache
+
+    register_cache(prev_cache)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

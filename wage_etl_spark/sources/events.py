@@ -48,9 +48,12 @@ class EpochSource:
         import pyarrow.parquet as pq
 
         total = 0
-        for root, _dirs, files in os.walk(d):
+        for root, dirs, files in os.walk(d):
+            # Spark's file listing skips hidden/_temporary entries; mirror it
+            # so a crashed writer's leftovers can't inflate events_in.
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             for fn in files:
-                if fn.endswith(".parquet"):
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                     total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
         return total
 
