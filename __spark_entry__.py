@@ -725,6 +725,89 @@ HTML_EXPECTED_PARSE = [
 ]
 
 
+# ---------------------------------------------------------- multimodal
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode/feature-extract through the REAL engine path:
+    genuine PNG/WAV bytes (pure-stdlib synthesized, deterministic) in a
+    binary column, decoded by mapInPandas Arrow-batched pure-stdlib
+    decoders (sources/multimodal.py: PNG IHDR/IDAT/unfilter pixel mean,
+    WAV RIFF-walk int16 PCM RMS). The oracle is the SAME decode run
+    directly in Python at oracle-build time (no Spark, no Arrow) emitted as
+    literal rows — so the hash check verifies the distributed plumbing:
+    binary-column round-trip through Arrow batches, mapInPandas schema,
+    null handling per mime."""
+    from wage_etl_spark.sources.multimodal import extract_features, synthesize_real_media
+
+    media = synthesize_real_media(spark, n=30, seed=7)
+    return extract_features(media, decoder="real").select(
+        "media_id", "mime", "n_bytes", "sha256", "feat_mean",
+        "dec_width", "dec_height", "dec_bit_depth", "dec_channels",
+        "dec_sample_rate", "dec_n_samples", "dec_mean",
+    )
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling PLUMBING (the decode itself is the documented
+    NotImplementedError seam): each video row explodes JVM-side into its
+    sampled frame timestamps via sequence()+explode — only sampled offsets
+    would ever reach a decoder. Media metadata is pure arithmetic so the
+    DuckDB oracle regenerates it independently (generate_series+unnest)."""
+    from wage_etl_spark.sources.multimodal import frame_sample_plan
+
+    media = spark.range(60).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("mime"),
+        (F.lit(100) + (F.col("id") * 37) % 60000).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"), "mime"
+    )
+
+
+def _multimodal_oracle_values() -> str:
+    """Literal oracle rows for q_multimodal_features: the same pure-stdlib
+    synth + decode run driver-side (plain Python, no Spark/Arrow)."""
+    import hashlib
+
+    from wage_etl_spark.sources.multimodal import (
+        decode_png, decode_wav, make_png, make_wav,
+    )
+
+    dec_cols = [
+        "dec_width", "dec_height", "dec_bit_depth", "dec_channels",
+        "dec_sample_rate", "dec_n_samples", "dec_mean",
+    ]
+    rows = []
+    for i in range(30):  # mirrors synthesize_real_media(n=30, seed=7)
+        if i % 2 == 0:
+            w, h = 8 + (i % 5), 6 + (i % 4)
+            mime, blob = "image/png", make_png(w, h, 7 + i)
+            d = decode_png(blob)
+        else:
+            ns = 500 + 37 * i
+            mime, blob = "audio/wav", make_wav(ns, seed=7 + i)
+            d = decode_wav(blob)
+        vals = [
+            str(i), f"'{mime}'", str(len(blob)),
+            f"'{hashlib.sha256(blob).hexdigest()}'",
+            f"'{hashlib.md5(blob[:256]).hexdigest()}'",
+        ]
+        for c in dec_cols:
+            v = d.get(c)
+            if v is None:
+                vals.append("NULL")
+            elif isinstance(v, str):
+                vals.append(f"'{v}'")
+            else:
+                vals.append(str(v))
+        rows.append("(" + ", ".join(vals) + ")")
+    return ", ".join(rows)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -766,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_multiprobe": q_embedding_ann_multiprobe,
         "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
         "dedup_clusters": q_dedup_clusters,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
     }
 
 
@@ -1368,5 +1453,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS lsh_bucket
             FROM proj GROUP BY vec_id
+        """,
+        # literal rows from the SAME pure-stdlib decode run directly in
+        # Python (no Spark/Arrow) — the hash check verifies the engine's
+        # distributed binary-column + mapInPandas plumbing
+        "multimodal_features": f"""
+            SELECT CAST(media_id AS BIGINT) AS media_id, mime,
+                   CAST(n_bytes AS BIGINT) AS n_bytes, sha256, feat_mean,
+                   CAST(dec_width AS INTEGER) AS dec_width,
+                   CAST(dec_height AS INTEGER) AS dec_height,
+                   CAST(dec_bit_depth AS INTEGER) AS dec_bit_depth,
+                   CAST(dec_channels AS INTEGER) AS dec_channels,
+                   CAST(dec_sample_rate AS INTEGER) AS dec_sample_rate,
+                   CAST(dec_n_samples AS BIGINT) AS dec_n_samples,
+                   dec_mean
+            FROM (VALUES {_multimodal_oracle_values()}) AS t(
+              media_id, mime, n_bytes, sha256, feat_mean, dec_width,
+              dec_height, dec_bit_depth, dec_channels, dec_sample_rate,
+              dec_n_samples, dec_mean)
+        """,
+        "multimodal_frame_plan": """
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(unnest(generate_series(0, duration_ms, 1000)) AS INTEGER)
+                     AS frame_ts_ms,
+                   mime
+            FROM (
+              SELECT media_id, 'video/mp4' AS mime,
+                     100 + (media_id * 37) % 60000 AS duration_ms
+              FROM range(60) AS t(media_id)
+              WHERE media_id % 3 = 2
+            )
         """,
     }

@@ -174,3 +174,37 @@ def test_dedup_clusters_loop_is_ids_only(spark):
     assert not r.has_python_row_udf
     # the returned plan reads only the checkpointed (id, label) data
     assert "text" not in r.plan and "content" not in r.plan, r.plan
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """plans/partitioning.py's driver-side Murmur3 must agree with
+    Catalyst's F.hash on int32 across the full range (the token search's
+    correctness rests on this)."""
+    from wage_etl_spark.plans.partitioning import murmur3_int32
+
+    vals = list(range(-40, 40)) + [2**31 - 1, -(2**31), 123456789, -987654321]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    assert all(r["h"] == murmur3_int32(r["v"]) for r in rows)
+
+
+def test_repartition_exact_is_collision_free(spark):
+    """Every combo gets its own partition — the property a raw
+    repartition(n, bucket) lacks (~1/e empty reducers by hash collision)."""
+    from wage_etl_spark.plans.partitioning import repartition_exact
+
+    n = 48
+    combos = spark.range(0, 48_000).select((F.col("id") % n).cast("int").alias("c"))
+    df = repartition_exact(combos, F.col("c"), n)
+    chk = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct("c").alias("nc"), F.count("*").alias("rows"))
+        .collect()
+    )
+    assert len(chk) == n
+    assert max(r["nc"] for r in chk) == 1
+    assert min(r["rows"] for r in chk) == max(r["rows"] for r in chk) == 1000

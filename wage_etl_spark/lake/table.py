@@ -299,9 +299,16 @@ class LakeTable:
             if new in physical.columns:
                 physical = physical.withColumnRenamed(new, old)
         if not prepartitioned:
-            physical = physical.withColumn("_b", bucket_expr([
-                {v: k for k, v in snap.renames.items()}.get(c, c) for c in snap.key_cols
-            ], snap.num_buckets)).repartition(snap.num_buckets, "_b")
+            from wage_etl_spark.plans.partitioning import repartition_exact
+
+            # collision-free bucket->reducer assignment (partitioning.py)
+            physical = repartition_exact(
+                physical.withColumn("_b", bucket_expr([
+                    {v: k for k, v in snap.renames.items()}.get(c, c)
+                    for c in snap.key_cols
+                ], snap.num_buckets)),
+                F.col("_b"), snap.num_buckets,
+            ).drop("_pt")
         (
             physical
             .write.partitionBy("_b")

@@ -184,13 +184,21 @@ def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, 
     # micro-batches; readers filter is_deleted).
     from pyspark.sql.window import Window
 
+    from wage_etl_spark.plans.partitioning import repartition_exact
+
     ordering_ext = [*ordering_cols, "_is_source"]
     payload = [c for c in unioned.columns if c not in key_cols]
     tail = [c for c in payload if c not in ordering_ext]
-    bucketed = unioned.withColumn(
-        "_b", bucket_expr(key_cols, snap.num_buckets)
-    ).repartition(snap.num_buckets, "_b")
-    w = Window.partitionBy("_b").orderBy(
+    # collision-free exchange: bucket i -> reducer i exactly (a raw
+    # repartition(n, "_b") hash-collides ~1/e of the reducers empty and
+    # doubles others — see plans/partitioning.py). The window partitions by
+    # the token column (bijection of _b), so the exchange still satisfies
+    # its clustering and the plan stays single-shuffle.
+    bucketed = repartition_exact(
+        unioned.withColumn("_b", bucket_expr(key_cols, snap.num_buckets)),
+        F.col("_b"), snap.num_buckets,
+    )
+    w = Window.partitionBy("_pt").orderBy(
         *[F.col(c).asc() for c in key_cols],
         *[F.col(c).desc() for c in ordering_ext],
         *[F.col(c).desc() for c in tail],
@@ -199,7 +207,7 @@ def _merge_apply_inner(table, winners, ordering_cols, op_col, properties, snap, 
     merged = (
         bucketed.withColumn("_keep", ~F.lag(key_struct).over(w).eqNullSafe(key_struct))
         .filter(F.col("_keep"))
-        .drop("_keep")
+        .drop("_keep", "_pt")
     )
     if tombstones:
         result = merged.withColumn("is_deleted", F.col("_op") == "D").drop(

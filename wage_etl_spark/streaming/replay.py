@@ -526,19 +526,26 @@ def _apply_epoch_fused(
     # from the bucket hash by a constant), so every key's rows still land in
     # exactly one partition and the bucket-local LWW sort stays correct; the
     # write stays bucket-pure with mult files per bucket.
+    from wage_etl_spark.plans.partitioning import repartition_exact
+
     mult = cfg.fused_shuffle_multiplier
     if mult is None:
         mult = max(1, min(8, spark.sparkContext.defaultParallelism // snap.num_buckets))
-    part_cols = ["_b"]
     bucketed = unioned.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
+    combo = F.col("_b")
     if mult > 1:
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5417)), F.lit(mult)
         ).cast("int")
         bucketed = bucketed.withColumn("_salt", salt)
-        part_cols = ["_b", "_salt"]
-    bucketed = bucketed.repartition(snap.num_buckets * mult, *part_cols)
-    w = Window.partitionBy(*part_cols).orderBy(
+        combo = F.col("_b") * mult + F.col("_salt")
+    # collision-free exchange: (bucket, salt) combo i -> reducer i exactly
+    # (plans/partitioning.py) — a raw repartition on the combo hash-collides
+    # ~1/e of the reducers empty, halving the single fused stage's effective
+    # parallelism on a full-width box. The window partitions by the token
+    # (bijection of the combo), so no second exchange is added.
+    bucketed = repartition_exact(bucketed, combo, snap.num_buckets * mult)
+    w = Window.partitionBy("_pt").orderBy(
         *[F.col(c).asc() for c in key_cols],
         F.col("_qid").asc(),
         *[F.col(c).desc() for c in ordering_ext],
@@ -561,7 +568,7 @@ def _apply_epoch_fused(
             schema = StructType(list(schema.fields) + [StructField("is_deleted", BooleanType())])
     else:
         merged = merged.filter((F.col("_route") == "dlq") | (F.col("_op") != "D"))
-    result = merged.drop("_qid", "_is_source", "_op", "_salt")
+    result = merged.drop("_qid", "_is_source", "_op", "_salt", "_pt")
 
     epoch_tmp = os.path.join(cfg.warehouse, "_epoch_tmp", _uuid.uuid4().hex)
     try:
