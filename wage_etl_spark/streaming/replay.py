@@ -378,6 +378,161 @@ def apply_epoch(
     }
 
 
+def _fused_plan_pieces(
+    cfg: ReplayConfig,
+    target: LakeTable,
+    events: DataFrame,
+    snap,
+    mult: int,
+) -> dict:
+    """Build every epoch-invariant plan piece for the fused apply ONCE.
+
+    Column / WindowSpec construction is Py4J-chatty: profiling showed
+    ~0.4-0.5 s PER EPOCH of pure driver-side expression building (40+
+    cast/alias columns x several selects), a fixed floor that dominates
+    small epochs. Everything here depends only on (events schema, table
+    schema, bucket spec, tombstone mode) — the cache key in
+    ``_apply_epoch_fused`` — so a 16-epoch replay builds it once. Column
+    objects are unresolved expression trees bound to names, not to a
+    DataFrame, so reuse across epochs is sound."""
+    from pyspark.sql.window import Window
+
+    from wage_etl_spark.operators.validate import REASON_MAX_LEN, violation_rules
+    from wage_etl_spark.plans.partitioning import exact_partition_column
+
+    key_cols = snap.key_cols
+    P: dict = {}
+    has_content = "content" in events.columns
+    P["violations"] = F.array_compact(
+        F.array(
+            *[
+                F.when(~passes, F.lit(reason))
+                for reason, passes in violation_rules(has_content=has_content)
+            ]
+        )
+    )
+    is_bad = F.size("_violations") > 0
+
+    payload_cols = [c for c in events.columns if c != "epoch"]
+    stage_payload_cols = [c for c in payload_cols if c != "op"]
+    raw_json = F.to_json(
+        F.struct(*[F.col(c) for c in events.columns]), {"ignoreNullFields": "false"}
+    )
+    probe = events.select(*stage_payload_cols).selectExpr(
+        "*",
+        "cast(null as string) content_sha256",
+        "cast(null as long) epoch",
+        "cast(null as long) run_id",
+        "cast(null as timestamp) load_timestamp",
+    )
+    align_schema, _, _ = target._merged_schema(probe)
+
+    DLQ_EXTRAS = ["raw_data", "rejection_reason", "reject_timestamp"]
+    P["dlq_extras"] = DLQ_EXTRAS
+
+    # events side: both routes; quarantined rows get a unique synthetic key
+    ev_head = [
+        F.when(is_bad, F.lit("dlq")).otherwise(F.lit("stage")).alias("_route"),
+        *[F.col(c) for c in stage_payload_cols],
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ]
+    ev_tail = [
+        F.current_timestamp().alias("load_timestamp"),
+        F.when(is_bad, raw_json).alias("raw_data"),
+        F.substring(F.concat_ws(";", "_violations"), 1, REASON_MAX_LEN).alias(
+            "rejection_reason"
+        ),
+        F.current_timestamp().alias("reject_timestamp"),
+        F.when(is_bad, F.monotonically_increasing_id()).alias("_qid"),
+        F.lit(1).alias("_is_source"),
+        (F.col("op") if "op" in events.columns else F.lit("U")).alias("_op"),
+    ]
+
+    def ev_cols(epoch: int, run_id: int) -> list:
+        return [
+            *ev_head,
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.lit(run_id).cast("long").alias("run_id"),
+            *ev_tail,
+        ]
+
+    P["ev_cols"] = ev_cols
+
+    # target side: current state re-enters the LWW resolution as is_source=0
+    t_names = [f.name for f in snap.schema.fields]
+    target_op = (
+        F.when(F.coalesce(F.col("is_deleted"), F.lit(False)), F.lit("D")).otherwise(
+            F.lit("U")
+        )
+        if "is_deleted" in t_names
+        else F.lit("U")
+    )
+    P["t_cols"] = [
+        F.lit("stage").alias("_route"),
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in t_names
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in align_schema.fields
+        ],
+        *[F.lit(None).cast("string").alias(c) for c in ("raw_data", "rejection_reason")],
+        F.lit(None).cast("timestamp").alias("reject_timestamp"),
+        F.lit(None).cast("long").alias("_qid"),
+        F.lit(0).alias("_is_source"),
+        target_op.alias("_op"),
+    ]
+    # align events side to the evolved schema column order
+    ev_names = {"_route", *stage_payload_cols, "content_sha256", "epoch", "run_id",
+                "load_timestamp", *DLQ_EXTRAS, "_qid", "_is_source", "_op"}
+    P["ev_align_cols"] = [
+        "_route",
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in ev_names
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in align_schema.fields
+        ],
+        *DLQ_EXTRAS, "_qid", "_is_source", "_op",
+    ]
+
+    # THE shuffle: one collision-free bucket repartition; winners via
+    # bucket-local sort+lag (same tie order as the merge)
+    ordering_ext = [*ORDERING_COLS, "_is_source"]
+    tail = [
+        f.name for f in align_schema.fields
+        if f.name not in key_cols and f.name not in ordering_ext
+    ]
+    P["bucket_col"] = bucket_expr(key_cols, snap.num_buckets)
+    combo = F.col("_b")
+    if mult > 1:
+        P["salt_col"] = F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5417)), F.lit(mult)
+        ).cast("int")
+        combo = F.col("_b") * mult + F.col("_salt")
+    P["pt_col"] = exact_partition_column(combo, snap.num_buckets * mult)
+    w = Window.partitionBy("_pt").orderBy(
+        *[F.col(c).asc() for c in key_cols],
+        F.col("_qid").asc(),
+        *[F.col(c).desc() for c in ordering_ext],
+        *[F.col(c).desc() for c in tail],
+    )
+    group = F.struct(*[F.col(c) for c in key_cols], F.col("_qid"))
+    P["keep_col"] = ~F.lag(group).over(w).eqNullSafe(group)
+
+    schema = align_schema
+    if cfg.keep_tombstones and "is_deleted" not in [f.name for f in schema.fields]:
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = StructType(list(schema.fields) + [StructField("is_deleted", BooleanType())])
+    P["schema"] = schema
+    P["tombstone_col"] = F.when(F.col("_route") == "stage", F.col("_op") == "D")
+    return P
+
+
 def _apply_epoch_fused(
     spark: SparkSession,
     cfg: ReplayConfig,
@@ -410,10 +565,6 @@ def _apply_epoch_fused(
     import time as _time
     import uuid as _uuid
 
-    from pyspark.sql.window import Window
-
-    from wage_etl_spark.operators.validate import REASON_MAX_LEN, tag_events
-
     spark_ = events.sparkSession
     start_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     _t0 = _time.monotonic()
@@ -427,10 +578,37 @@ def _apply_epoch_fused(
     snap = target.snapshot()
     if snap.renames:
         raise ValueError("fused apply does not support renamed columns")
-    key_cols = snap.key_cols
 
-    tagged = tag_events(events)
-    is_bad = F.size("_violations") > 0
+    # shuffle width: sub-split each bucket into key-pure salt partitions so
+    # the single fused stage runs num_buckets*mult tasks instead of being
+    # capped at num_buckets — the salt is a hash OF THE KEY (decorrelated
+    # from the bucket hash by a constant), so every key's rows still land in
+    # exactly one partition and the bucket-local LWW sort stays correct; the
+    # write stays bucket-pure with mult files per bucket.
+    mult = cfg.fused_shuffle_multiplier
+    if mult is None:
+        mult = max(1, min(8, spark.sparkContext.defaultParallelism // snap.num_buckets))
+
+    # Plan-piece cache (see _fused_plan_pieces): every expression below
+    # depends only on this key, so a multi-epoch replay pays the Py4J-heavy
+    # Column construction once, not per epoch. Schema evolution (a later
+    # epoch adding columns, or the first fused commit widening the target)
+    # changes the key and rebuilds.
+    cache_key = (
+        tuple((f.name, str(f.dataType)) for f in events.schema.fields),
+        tuple((f.name, str(f.dataType)) for f in snap.schema.fields),
+        tuple(snap.key_cols),
+        snap.num_buckets,
+        bool(cfg.keep_tombstones),
+        mult,
+    )
+    if cfg.extra.get("_fused_plan_key") != cache_key:
+        cfg.extra["_fused_plan"] = _fused_plan_pieces(cfg, target, events, snap, mult)
+        cfg.extra["_fused_plan_key"] = cache_key
+    P = cfg.extra["_fused_plan"]
+    schema = P["schema"]
+
+    tagged = events.withColumn("_violations", P["violations"])
     # counters WITHOUT an Observation: Observation.get deadlocks inside a
     # foreachBatch micro-batch (the listener event for the nested batch
     # action never fires), and fused runs under the streaming front-end
@@ -441,131 +619,31 @@ def _apply_epoch_fused(
     if events_in is None:
         events_in = events.count()
 
-    payload_cols = [c for c in events.columns if c != "epoch"]
-    raw_json = F.to_json(
-        F.struct(*[F.col(c) for c in events.columns]), {"ignoreNullFields": "false"}
-    )
-
-    # evolved schema from the epoch's payload (op excluded, like merge_apply)
-    stage_payload_cols = [c for c in payload_cols if c != "op"]
-    probe = tagged.select(*stage_payload_cols).selectExpr(
-        "*",
-        "cast(null as string) content_sha256",
-        "cast(null as long) epoch",
-        "cast(null as long) run_id",
-        "cast(null as timestamp) load_timestamp",
-    )
-    schema, _, _ = target._merged_schema(probe)
-
-    DLQ_EXTRAS = ["raw_data", "rejection_reason", "reject_timestamp"]
-
-    # events side: both routes; quarantined rows get a unique synthetic key
-    ev_side = tagged.select(
-        F.when(is_bad, F.lit("dlq")).otherwise(F.lit("stage")).alias("_route"),
-        *[F.col(c) for c in payload_cols if c != "op"],
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        F.lit(epoch).cast("long").alias("epoch"),
-        F.lit(run_id).cast("long").alias("run_id"),
-        F.current_timestamp().alias("load_timestamp"),
-        F.when(is_bad, raw_json).alias("raw_data"),
-        F.substring(F.concat_ws(";", "_violations"), 1, REASON_MAX_LEN).alias("rejection_reason"),
-        F.current_timestamp().alias("reject_timestamp"),
-        F.when(is_bad, F.monotonically_increasing_id()).alias("_qid"),
-        F.lit(1).alias("_is_source"),
-        (F.col("op") if "op" in events.columns else F.lit("U")).alias("_op"),
-    )
-
+    # events side (both routes) aligned to the evolved schema column order;
     # target side: current state re-enters the LWW resolution as is_source=0
-    tdf = target.read()
-    target_op = (
-        F.when(F.coalesce(F.col("is_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
-        if "is_deleted" in tdf.columns
-        else F.lit("U")
-    )
-    t_side = tdf.select(
-        F.lit("stage").alias("_route"),
-        *[
-            (
-                F.col(f.name).cast(f.dataType)
-                if f.name in tdf.columns
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in schema.fields
-        ],
-        *[F.lit(None).cast("string").alias(c) for c in ("raw_data", "rejection_reason")],
-        F.lit(None).cast("timestamp").alias("reject_timestamp"),
-        F.lit(None).cast("long").alias("_qid"),
-        F.lit(0).alias("_is_source"),
-        target_op.alias("_op"),
-    )
-    # align events side to the evolved schema column order
-    ev_side = ev_side.select(
-        "_route",
-        *[
-            (
-                F.col(f.name).cast(f.dataType)
-                if f.name in ev_side.columns
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in schema.fields
-        ],
-        *DLQ_EXTRAS, "_qid", "_is_source", "_op",
-    )
+    ev_side = tagged.select(*P["ev_cols"](epoch, run_id)).select(*P["ev_align_cols"])
+    t_side = target.read().select(*P["t_cols"])
     unioned = t_side.unionByName(ev_side)
 
-    # THE shuffle: one bucket repartition; winners via bucket-local sort+lag
-    # (same tie order as the merge: ordering desc, is_source desc, tail desc)
-    ordering_ext = [*ORDERING_COLS, "_is_source"]
-    tail = [
-        f.name for f in schema.fields
-        if f.name not in key_cols and f.name not in ordering_ext
-    ]
-    # shuffle width: sub-split each bucket into key-pure salt partitions so
-    # the single fused stage runs num_buckets*mult tasks instead of being
-    # capped at num_buckets — the salt is a hash OF THE KEY (decorrelated
-    # from the bucket hash by a constant), so every key's rows still land in
-    # exactly one partition and the bucket-local LWW sort stays correct; the
-    # write stays bucket-pure with mult files per bucket.
-    from wage_etl_spark.plans.partitioning import repartition_exact
-
-    mult = cfg.fused_shuffle_multiplier
-    if mult is None:
-        mult = max(1, min(8, spark.sparkContext.defaultParallelism // snap.num_buckets))
-    bucketed = unioned.withColumn("_b", bucket_expr(key_cols, snap.num_buckets))
-    combo = F.col("_b")
+    # THE shuffle: one collision-free bucket repartition (combo i -> reducer
+    # i exactly, plans/partitioning.py — a raw repartition on the combo hash
+    # leaves ~1/e of the reducers empty); winners via bucket-local sort+lag
+    # (same tie order as the merge: ordering desc, is_source desc, tail
+    # desc). The window partitions by the token (a bijection of the combo),
+    # so no second exchange is added.
+    bucketed = unioned.withColumn("_b", P["bucket_col"])
     if mult > 1:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5417)), F.lit(mult)
-        ).cast("int")
-        bucketed = bucketed.withColumn("_salt", salt)
-        combo = F.col("_b") * mult + F.col("_salt")
-    # collision-free exchange: (bucket, salt) combo i -> reducer i exactly
-    # (plans/partitioning.py) — a raw repartition on the combo hash-collides
-    # ~1/e of the reducers empty, halving the single fused stage's effective
-    # parallelism on a full-width box. The window partitions by the token
-    # (bijection of the combo), so no second exchange is added.
-    bucketed = repartition_exact(bucketed, combo, snap.num_buckets * mult)
-    w = Window.partitionBy("_pt").orderBy(
-        *[F.col(c).asc() for c in key_cols],
-        F.col("_qid").asc(),
-        *[F.col(c).desc() for c in ordering_ext],
-        *[F.col(c).desc() for c in tail],
+        bucketed = bucketed.withColumn("_salt", P["salt_col"])
+    bucketed = bucketed.withColumn("_pt", P["pt_col"]).repartition(
+        snap.num_buckets * mult, "_pt"
     )
-    group = F.struct(*[F.col(c) for c in key_cols], F.col("_qid"))
     merged = (
-        bucketed.withColumn("_keep", ~F.lag(group).over(w).eqNullSafe(group))
+        bucketed.withColumn("_keep", P["keep_col"])
         .filter(F.col("_keep"))
         .drop("_keep")
     )
     if cfg.keep_tombstones:
-        merged = merged.withColumn(
-            "is_deleted",
-            F.when(F.col("_route") == "stage", F.col("_op") == "D"),
-        )
-        if "is_deleted" not in [f.name for f in schema.fields]:
-            from pyspark.sql.types import BooleanType, StructField, StructType
-
-            schema = StructType(list(schema.fields) + [StructField("is_deleted", BooleanType())])
+        merged = merged.withColumn("is_deleted", P["tombstone_col"])
     else:
         merged = merged.filter((F.col("_route") == "dlq") | (F.col("_op") != "D"))
     result = merged.drop("_qid", "_is_source", "_op", "_salt", "_pt")
