@@ -114,6 +114,49 @@ def commit_epoch(
     )
 
 
+def commit_epochs(
+    manifest: LakeTable,
+    *,
+    per_epoch: list[dict],
+    run_id: int,
+    snapshot_id: int,
+    start_ts,
+    end_ts,
+    partition_counts: dict[int, int] | None = None,
+):
+    """Atomically commit a CHUNK of coalesced epochs (catch-up mode): one
+    summary row per epoch — each with its own status/events_in/quarantined —
+    all sharing the chunk's snapshot_id, plus per-bucket lineage rows on the
+    last epoch. ONE append is the commit point for the whole chunk, so a
+    crash mid-chunk leaves no epoch committed and resume re-runs the chunk.
+
+    ``per_epoch``: [{epoch, status, events_in, rows_merged, rows_loaded,
+    rows_quarantined}] in epoch order."""
+    rows = [
+        dict(
+            epoch=int(m["epoch"]), partition_id=None, status=m["status"],
+            events_in=m["events_in"], rows_merged=m["rows_merged"],
+            rows_loaded=m["rows_loaded"], rows_quarantined=m["rows_quarantined"],
+            run_id=run_id, snapshot_id=snapshot_id, start_ts=start_ts,
+            end_ts=end_ts, error_message=None,
+        )
+        for m in per_epoch
+    ]
+    last = int(per_epoch[-1]["epoch"])
+    for pid, cnt in sorted((partition_counts or {}).items()):
+        rows.append(
+            dict(
+                epoch=last, partition_id=int(pid), status=per_epoch[-1]["status"],
+                events_in=None, rows_merged=int(cnt), rows_loaded=None,
+                rows_quarantined=None, run_id=run_id, snapshot_id=snapshot_id,
+                start_ts=start_ts, end_ts=end_ts, error_message=None,
+            )
+        )
+    return manifest.append_local(
+        rows, properties={"epoch": str(last), "run_id": str(run_id)}
+    )
+
+
 def _scan_summary(manifest: LakeTable) -> tuple[int, int]:
     """(max committed epoch, max run_id) via direct pyarrow reads of the
     manifest's files — the manifest is tiny by construction (a few rows per

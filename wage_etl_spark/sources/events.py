@@ -91,5 +91,19 @@ class EpochSource:
             df = df.drop(*dead)
         return df
 
+    def epochs(self, a: int, b: int) -> DataFrame:
+        """Events of epochs ``a..b`` inclusive, one partition-pruned scan —
+        the catch-up unit (ReplayConfig.catch_up_epochs). A column is dropped
+        only if it is dead in EVERY epoch of the range (a column introduced
+        mid-range stays, null before its first epoch — the same rows a
+        per-epoch replay produces after schema merge)."""
+        df = self._df.filter((F.col("epoch") >= a) & (F.col("epoch") <= b))
+        dead = set(self._dead_columns(a))
+        for e in range(a + 1, b + 1):
+            dead &= set(self._dead_columns(e))
+        if dead:
+            df = df.drop(*sorted(dead))
+        return df
+
 
 EpochFn = Callable[[int], DataFrame]

@@ -29,7 +29,8 @@ from pyspark.sql.types import (
 )
 
 from wage_etl_spark.lake.manifest import (
-    commit_epoch, create_manifest, epoch_status, last_committed_epoch, next_run_id,
+    commit_epoch, commit_epochs, create_manifest, epoch_status,
+    last_committed_epoch, next_run_id,
 )
 from wage_etl_spark.lake.table import LakeTable, bucket_expr
 from wage_etl_spark.operators.dedup_lww import dedup_lww
@@ -118,6 +119,19 @@ class ReplayConfig:
     # bucket-pure (multiplier files per bucket, adopted verbatim). None =
     # auto: fill the session's cores (defaultParallelism/num_buckets, <=8).
     fused_shuffle_multiplier: int | None = None
+    # catch-up coalescing (fused strategy only): when the replay is more
+    # than one epoch behind, apply up to this many consecutive pending
+    # epochs in ONE fused job. Sound because the fused apply is monotone
+    # max-version LWW — iterating it over epochs a..b equals one global
+    # argmax over state ∪ all of a..b's events — so the chunk produces the
+    # byte-identical final state; per-epoch events_in/quarantined metrics
+    # are still recorded (source footers + a column-only read of the chunk's
+    # DLQ output). The whole chunk commits atomically (one manifest append),
+    # so the durability/resume granularity while catching up is the chunk,
+    # not the epoch — live tailing (never behind) is unaffected. This is the
+    # scale answer to the fixed ~0.5-1 s/job floor: a 10^4-epoch backlog is
+    # 10^4/k jobs, not 10^4.
+    catch_up_epochs: int = 1
     extra: dict = field(default_factory=dict)
 
 
@@ -448,10 +462,18 @@ def _fused_plan_pieces(
         (F.col("op") if "op" in events.columns else F.lit("U")).alias("_op"),
     ]
 
+    # per-event epoch attribution: when the events carry an epoch column
+    # (replay sources; always equal to the applied epoch in single-epoch
+    # mode) the output rows keep THEIR event's epoch — required for chunked
+    # catch-up, a no-op otherwise. Streaming micro-batches drop the column
+    # and fall back to the literal batch id.
+    has_epoch_col = "epoch" in events.columns
+
     def ev_cols(epoch: int, run_id: int) -> list:
+        epoch_col = F.col("epoch") if has_epoch_col else F.lit(epoch)
         return [
             *ev_head,
-            F.lit(epoch).cast("long").alias("epoch"),
+            epoch_col.cast("long").alias("epoch"),
             F.lit(run_id).cast("long").alias("run_id"),
             *ev_tail,
         ]
@@ -543,6 +565,8 @@ def _apply_epoch_fused(
     epoch: int,
     run_id: int,
     events_in: int | None = None,
+    chunk: list[int] | None = None,
+    events_in_by_epoch: dict[int, int] | None = None,
 ) -> dict:
     """DENSE-epoch apply: ONE Spark job per epoch.
 
@@ -560,7 +584,16 @@ def _apply_epoch_fused(
 
     Trade-off vs the default two-job shape: every epoch rewrites the whole
     table, so this is for dense epochs (bench multi-epoch profile, small
-    hot tables); sparse epochs over huge tables want the pruned merge."""
+    hot tables); sparse epochs over huge tables want the pruned merge.
+
+    Catch-up chunks: with ``chunk=[a..b]`` the SAME plan applies all of the
+    range's events at once (``events`` = the range scan, rows keeping their
+    own epoch). Equivalence: this apply is monotone max-version LWW, so
+    iterating it per epoch and running it once over the union both yield the
+    per-key global argmax — identical final bytes. Per-epoch metrics come
+    from ``events_in_by_epoch`` (source footers) and a column-only pyarrow
+    read of the chunk's DLQ files; the manifest records every epoch in ONE
+    atomic append (commit_epochs)."""
     import shutil
     import time as _time
     import uuid as _uuid
@@ -616,8 +649,19 @@ def _apply_epoch_fused(
     # from parquet footers (EpochSource.epoch_rows — zero jobs), else from
     # a metadata-only count (row-group footers, no data read); quarantined
     # comes from the DLQ output files' footers.
+    if chunk is not None and events_in_by_epoch is None:
+        # one slim agg job (epoch column only) when the source can't provide
+        # footer counts for the range
+        events_in_by_epoch = {
+            int(r["epoch"]): int(r["n"])
+            for r in events.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for e in chunk:
+            events_in_by_epoch.setdefault(e, 0)
     if events_in is None:
-        events_in = events.count()
+        events_in = (
+            sum(events_in_by_epoch.values()) if chunk is not None else events.count()
+        )
 
     # events side (both routes) aligned to the evolved schema column order;
     # target side: current state re-enters the LWW resolution as is_source=0
@@ -675,6 +719,20 @@ def _apply_epoch_fused(
 
         n_quarantined = sum(_pq.ParquetFile(p).metadata.num_rows for p in dlq_files)
         n_valid = events_in - n_quarantined
+        q_by_epoch: dict[int, int] = {}
+        if chunk is not None:
+            # per-epoch DLQ attribution: a column-only read of the chunk's
+            # DLQ output (8 B x quarantined rows, never the payload)
+            import pyarrow.compute as _pc
+
+            q_by_epoch = {e: 0 for e in chunk}
+            for p in dlq_files:
+                vc = _pc.value_counts(
+                    _pq.read_table(p, columns=["epoch"]).column("epoch")
+                )
+                for item in vc:
+                    e = int(item["values"].as_py())
+                    q_by_epoch[e] = q_by_epoch.get(e, 0) + int(item["counts"].as_py())
         if dlq_files:
             dlq.adopt_files(dlq_files, properties={"epoch": str(epoch)})
         else:
@@ -694,8 +752,35 @@ def _apply_epoch_fused(
     finally:
         shutil.rmtree(epoch_tmp, ignore_errors=True)
 
-    status = epoch_status(events_in, n_valid, n_quarantined)
     end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    if chunk is not None:
+        per_epoch = []
+        for e in chunk:
+            ein = int(events_in_by_epoch.get(e, 0))
+            q = int(q_by_epoch.get(e, 0))
+            per_epoch.append(
+                dict(
+                    epoch=e, status=epoch_status(ein, ein - q, q), events_in=ein,
+                    rows_merged=rows_written if e == chunk[-1] else None,
+                    rows_loaded=ein - q, rows_quarantined=q,
+                )
+            )
+        commit_epochs(
+            manifest, per_epoch=per_epoch, run_id=run_id,
+            snapshot_id=new_snap.version, start_ts=start_ts, end_ts=end_ts,
+            partition_counts={int(b): c for b, c in bucket_counts.items()},
+        )
+        _mark("manifest")
+        log.debug("epochs %s fused-chunk phases: %s", chunk, _phase)
+        return {
+            "epoch": epoch, "epochs": list(chunk), "per_epoch": per_epoch,
+            "status": per_epoch[-1]["status"], "events_in": events_in,
+            "valid": n_valid, "quarantined": n_quarantined,
+            "rows_written": rows_written, "snapshot": new_snap.version,
+            "max_bucket_rows": max(bucket_counts.values(), default=0),
+            "phases": _phase,
+        }
+    status = epoch_status(events_in, n_valid, n_quarantined)
     commit_epoch(
         manifest,
         epoch=epoch, run_id=run_id, status=status, events_in=events_in,
@@ -745,16 +830,35 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
         stop = min(stop, last + cfg.max_epochs)
     import time as _time
 
-    for e in range(last + 1, stop + 1):
+    known_rows = getattr(source, "epoch_rows", None)
+    chunk_size = max(1, int(cfg.catch_up_epochs or 1))
+    e = last + 1
+    while e <= stop:
         _t0 = _time.monotonic()
-        known_rows = getattr(source, "epoch_rows", None)
-        res = apply_epoch(
-            spark, cfg, target, dlq, manifest, source.epoch(e), e, run_id,
-            events_in=known_rows(e) if known_rows else None,
-        )
+        b = min(e + chunk_size - 1, stop)
+        if b > e and cfg.dedup_strategy == "fused" and hasattr(source, "epochs"):
+            chunk = list(range(e, b + 1))
+            counts: dict[int, int] | None = {}
+            for ce in chunk:
+                c = known_rows(ce) if known_rows else None
+                if c is None:
+                    counts = None
+                    break
+                counts[ce] = c
+            res = _apply_epoch_fused(
+                spark, cfg, target, dlq, manifest, source.epochs(e, b),
+                chunk[-1], run_id, events_in=None, chunk=chunk,
+                events_in_by_epoch=counts,
+            )
+        else:
+            res = apply_epoch(
+                spark, cfg, target, dlq, manifest, source.epoch(e), e, run_id,
+                events_in=known_rows(e) if known_rows else None,
+            )
         res["epoch_wall_s"] = round(_time.monotonic() - _t0, 3)
-        log.info("epoch %s: %s", e, res)
+        log.info("epoch %s: %s", res.get("epochs", e), res)
         results.append(res)
+        committed = res["epochs"][-1] if "epochs" in res else e
         if (
             cfg.rebucket_above_rows
             and res.get("max_bucket_rows", 0) > cfg.rebucket_above_rows
@@ -762,10 +866,11 @@ def replay(spark: SparkSession, cfg: ReplayConfig, source) -> list[dict]:
             nb = target.snapshot().num_buckets * 4
             log.info(
                 "epoch %s: bucket grew past %s rows — rebucketing to %s",
-                e, cfg.rebucket_above_rows, nb,
+                committed, cfg.rebucket_above_rows, nb,
             )
-            target.rebucket(nb, properties={"epoch": str(e)})
+            target.rebucket(nb, properties={"epoch": str(committed)})
             res["rebucketed_to"] = nb
+        e = committed + 1
     return results
 
 
