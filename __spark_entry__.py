@@ -4,7 +4,8 @@
 sf0.001; `queries()` exposes each implemented operator from SURVEY.md §2 as
 (spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-equivalent SQL.
 Every queries() entry has an oracle_sql() entry (all hash-verifiable;
-32/32 green in CORRECTNESS_r04).
+34 queries as of round 5 — 32/32 green in CORRECTNESS_r04, plus the two
+multimodal queries added since).
 
 Parity rules used throughout (so the driver's value-hash matches):
 - every computed column is aliased identically on both sides;

@@ -30,6 +30,15 @@ from wage_etl_spark.operators.merge import merge_apply
 
 DDL = "k string, v string, ver long"
 
+# ONE statement text for both backends (lake front-end + real Iceberg) —
+# the "config change, not API migration" contract
+_MERGE_SQL = (
+    "MERGE INTO {target} t USING s ON t.k = s.k "
+    "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+    "WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *"
+)
+
 
 class LakeBackend:
     """Contract adapter over the shipped snapshot layer."""
@@ -46,6 +55,15 @@ class LakeBackend:
 
     def merge(self, winners: DataFrame, properties=None):
         merge_apply(self.t, winners, ordering_cols=["ver"], properties=properties)
+
+    def merge_sql(self, winners: DataFrame):
+        from wage_etl_spark.lake.sql_merge import merge_into
+
+        winners.createOrReplaceTempView("s")
+        merge_into(
+            self.t.spark, _MERGE_SQL.format(target="t_lake"),
+            tables={"t_lake": self.t}, sources={"s": winners},
+        )
 
     def read(self) -> DataFrame:
         return self.t.read()
@@ -87,6 +105,10 @@ class IcebergBackend:
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *"
         )
+
+    def merge_sql(self, winners: DataFrame):
+        winners.createOrReplaceTempView("s")
+        self.spark.sql(_MERGE_SQL.format(target=self.tbl))
 
     def read(self) -> DataFrame:
         return self.spark.table(self.tbl)
@@ -148,6 +170,21 @@ def test_contract_merge_upsert_and_delete(spark, backend):
         ("b", None, 2, "D"),   # delete
         ("c", "3", 2, "I"),    # insert
         ("d", None, 2, "D"),   # delete of absent key: no-op, not an insert
+    ]))
+    got = {k: v for k, (v, _) in _state(backend).items()}
+    assert got == {"a": "1b", "c": "3"}
+
+
+def test_contract_merge_sql_statement(spark, backend):
+    """THE SAME canonical MERGE INTO text runs on both backends (lake via
+    the sql_merge front-end, Iceberg via spark.sql) and produces the same
+    state — swapping the backend is a config change, not an API migration."""
+    backend.append(_df(spark, [("a", "1", 1), ("b", "2", 1)], DDL))
+    backend.merge_sql(_df(spark, [
+        ("a", "1b", 2, "U"),
+        ("b", None, 2, "D"),
+        ("c", "3", 2, "I"),
+        ("d", None, 2, "D"),
     ]))
     got = {k: v for k, (v, _) in _state(backend).items()}
     assert got == {"a": "1b", "c": "3"}
