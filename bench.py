@@ -679,13 +679,18 @@ effect is fully auditable.
 {chr(10).join(pair_rows)}
 
 Efficiency = (T_low / T_high) / (cores_high / cores_low); target >= 0.8
-(BASELINE.json). Context: this VM's JVM throughput saturates around 8-10
-effective cores (T(local[4]) ~= T(local[32]) on this box; a pure-CPU
-sha256+md5 control shows the same ceiling), so the pair BELOW the ceiling
-(1->4) measures the ENGINE's scaling and the pair crossing it measures the
-HOST's — both are listed. On a real cluster the per-node core budget stays
-below this kind of ceiling and scale-out adds nodes, which is the regime
-the 1->4 pair represents.
+(BASELINE.json). Context: this VM's sustained compute saturates well below
+its 32 advertised threads — the committed pure-CPU control
+(`BENCH/cpu_control.json`, codegen-only sha256+md5 over spark.range, fresh
+JVM per level, 3 interleaved rounds) measures median walls 27.4 / 10.4 /
+4.6 / 4.2 s at local[1/4/16/32]: max sustained speedup ~6.5x and 16->32
+essentially flat. So the pair BELOW the ceiling (1->4) measures the
+ENGINE's scaling and the pair crossing it measures the HOST's — both are
+listed. The control's own 1->4 per-round spread (0.51-0.98) is the raw
+CPU-steal noise that motivates the engine bench's 9 interleaved rounds +
+outlier rule. On a real cluster the per-node core budget stays below this
+kind of ceiling and scale-out adds nodes, which is the regime the 1->4
+pair represents.
 
 Single-run throughput at local[{CPUS}]: {cdc['events_per_sec']:,} events/s
 over {cdc['events']:,} events ({cdc['elapsed_s']} s, {cdc['quarantined']:,}

@@ -31,8 +31,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _workload(spark) -> float:
-    """One timed iteration: sha256+md5 chain over range(ROWS), count.
-    Pure whole-stage-codegen CPU; the count aggregate is the only action."""
+    """One timed iteration: sha256+md5 chain over range(ROWS), max(hash).
+    Pure whole-stage-codegen CPU. The aggregate must CONSUME the hash —
+    a count() lets Catalyst prune the sha2/md5 away entirely (measured:
+    100M 'rows' in 0.2 s, i.e. nothing ran) — so we take max(h), which
+    forces every row's hash and still reduces map-side to one row."""
     import time
 
     from pyspark.sql import functions as F
@@ -40,7 +43,7 @@ def _workload(spark) -> float:
     df = spark.range(ROWS).select(
         F.sha2(F.concat_ws("|", F.col("id"), F.md5(F.col("id").cast("string"))), 256).alias("h")
     )
-    out = df.select(F.substring("h", 1, 8).alias("p")).groupBy().count()
+    out = df.agg(F.max("h").alias("m"))
     t0 = time.monotonic()
     out.collect()
     return time.monotonic() - t0
