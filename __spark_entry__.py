@@ -4,8 +4,8 @@
 sf0.001; `queries()` exposes each implemented operator from SURVEY.md §2 as
 (spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-equivalent SQL.
 Every queries() entry has an oracle_sql() entry (all hash-verifiable;
-34 queries as of round 5 — 32/32 green in CORRECTNESS_r04, plus the two
-multimodal queries added since).
+35 queries as of round 5 — 32/32 green in CORRECTNESS_r04, plus the two
+multimodal queries and the scale-sized cosine-dup variant added since).
 
 Parity rules used throughout (so the driver's value-hash matches):
 - every computed column is aliased identically on both sides;
@@ -477,6 +477,28 @@ def q_embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_cosine_dups_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-sized cosine near-dup pairs: the coarse IVF partition is
+    derived from hyperplane LSH with n_planes = ceil(log2(n/target)) so
+    bucket count grows with the corpus (the grow-k-with-n IVF sizing rule —
+    the fixed-10-label variant's candidate volume is n^2/10, quadratic;
+    this one is ~n*target, linear). Deterministic end-to-end: md5
+    hyperplanes, rounded bucket centroids, rounded cosine — the DuckDB
+    oracle replays buckets, centroids, assignment, and pair filter exactly,
+    including the count(*)-driven plane-count sizing rule.
+    operators/similarity.py::cosine_near_dups_scaled."""
+    from wage_etl_spark.operators.similarity import cosine_near_dups_scaled
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_near_dups_scaled(
+        emb, "embedding", "vec_id", min_cosine=0.35, target_bucket_rows=32
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the step a dedup pipeline actually
     ships: connected components over the verified LSH near-dup pairs, every
@@ -849,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_ann_multiprobe": q_embedding_ann_multiprobe,
         "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
+        "embedding_cosine_dups_scaled": q_embedding_cosine_dups_scaled,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -1454,6 +1477,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS lsh_bucket
             FROM proj GROUP BY vec_id
+        """,
+        # Oracle for similarity.py:cosine_near_dups_scaled: the sizing rule
+        # n_planes = max(2, ceil(log2(max(n/32, 2)))) is computed from
+        # count(*) exactly as the operator does, buckets replayed as in
+        # hyperplane_lsh_buckets, then the embedding_cosine_dups pattern
+        # with bucket centroids instead of the data's 10 labels.
+        "embedding_cosine_dups_scaled": f"""
+            WITH sz AS (
+              SELECT greatest(2, CAST(ceil(log2(greatest(count(*) / 32.0, 2.0))) AS INT)) AS np
+              FROM embeddings
+            ), proj AS (
+              SELECT e.vec_id, gp.p,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, len(e.embedding)),
+                         i -> e.embedding[i]::DOUBLE *
+                              (CASE WHEN ('0x' || substr(md5(concat(42, '|', gp.p, '|', i - 1)), 1, 2))::BIGINT % 2 = 0
+                                    THEN 1.0 ELSE -1.0 END))),
+                       (s, x) -> s + x) AS proj
+              FROM embeddings e, generate_series(0, 15) AS gp(p), sz
+              WHERE gp.p < sz.np
+            ), buckets AS (
+              SELECT vec_id,
+                     sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS lsh_bucket
+              FROM proj GROUP BY vec_id
+            ), lab AS (
+              SELECT e.vec_id, e.embedding, b.lsh_bucket FROM embeddings e
+              JOIN buckets b USING (vec_id)
+            ), comp AS (
+              SELECT lsh_bucket, i AS pos, round(avg(embedding[i]::DOUBLE), 8) AS v
+              FROM lab, generate_series(1, 64) AS t(i)
+              GROUP BY lsh_bucket, i
+            ), cents AS (
+              SELECT lsh_bucket, list(v ORDER BY pos) AS centroid FROM comp GROUP BY lsh_bucket
+            ), scored0 AS (
+              SELECT e.vec_id, c.lsh_bucket, {_cos('e.embedding', 'c.centroid')} AS sim_exact
+              FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, lsh_bucket AS assigned_label FROM (
+                SELECT vec_id, lsh_bucket,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(sim_exact, 6) DESC, lsh_bucket ASC) AS rn
+                FROM scored0
+              ) WHERE rn = 1
+            ), corpus AS (
+              SELECT e.vec_id, e.embedding, a.assigned_label
+              FROM embeddings e JOIN assigned a USING (vec_id)
+            )
+            SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+                   round({_cos('a.embedding', 'b.embedding')}, 4) AS cosine
+            FROM corpus a JOIN corpus b
+              ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+            WHERE round({_cos('a.embedding', 'b.embedding')}, 4) >= 0.35
         """,
         # literal rows from the SAME pure-stdlib decode run directly in
         # Python (no Spark/Arrow) — the hash check verifies the engine's

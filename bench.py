@@ -770,8 +770,65 @@ while the window plan must sort ALL of the hot key's rows in one partition
 even less: a slim (key -> max version) pre-pass (~100 B/row) instead of
 full events. salt_buckets stays available for sort-fallback edge cases.
 """
+    md += _sf1_section()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+
+
+def _sf1_section() -> str:
+    """Fold the one-decade-up scale evidence (scripts/sf1_scale.py ->
+    BENCH/sf1_scale.json) into BASELINE.md so it survives re-benches. The
+    artifact is produced by its own run — this only renders it."""
+    path = os.path.join(REPO, "BENCH", "sf1_scale.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        s = json.load(f)
+    ref, big = s.get("cdc_ref", {}), s.get("cdc_sf1", {})
+    qrows = []
+    for name, q in s.get("queries", {}).items():
+        a, b = q["sf0.1"], q["sf1"]
+        diag = b.get("diagnostics") or {}
+        notes = []
+        if "dedup_clusters" in diag:
+            notes.append(f"rounds={diag['dedup_clusters']['rounds']}")
+        if "lsh_jaccard_verified" in diag:
+            notes.append(f"gate={diag['lsh_jaccard_verified']['path']}")
+        qrows.append(
+            f"| {name} | {a['wall_s']} | {b['wall_s']} | {q['wall_ratio']}x "
+            f"| {a['rows']:,} | {b['rows']:,} | {q['rows_ratio']}x | {' '.join(notes) or '—'} |"
+        )
+    return f"""
+## One decade up: sf1 scale point (scripts/sf1_scale.py, BENCH/sf1_scale.json)
+
+CDC replay at 10x the bench stream, same synthetic profile, sha256-verified
+both scales in the SAME session (host-comparable):
+{ref.get('events', 0):,} events -> **{ref.get('events_per_sec', 0):,} events/s**
+(verify_equal={ref.get('verify_equal')}); {big.get('events', 0):,} events ->
+**{big.get('events_per_sec', 0):,} events/s**
+(verify_equal={big.get('verify_equal')}, verify {big.get('verify_s', '?')} s).
+Throughput ratio 10x/1x = **{s.get('cdc_throughput_ratio')}** (>1 means the
+fixed per-run floor amortizes; ~1 means steady-state linear scaling held).
+
+Expensive training-data queries at a 10x corpus ({s.get('corpus', {}).get('docs', 0):,}
+docs / {s.get('corpus', {}).get('vecs', 0):,} vectors, synthesized by
+sources/synth_corpus.py with the driver tables' measured statistical shape —
+near-dup pair density per doc held scale-invariant so pair counts must grow
+~linearly):
+
+| query | sf0.1 wall (s) | sf1 wall (s) | wall ratio | sf0.1 rows | sf1 rows | rows ratio | diagnostics |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(qrows)}
+
+Reading: a wall ratio well under 10x at 10x input means fixed job overhead
+still dominates at sf0.1; ~10x is linear; well OVER 10x flags a quadratic
+candidate path. The fixed-10-bucket `embedding_cosine_dups` is the
+expected quadratic case (candidate volume n^2/10 by construction);
+`embedding_cosine_dups_scaled` (cosine_near_dups_scaled: hyperplane-LSH
+coarse partition sized to the corpus, the standard grow-k-with-n IVF rule)
+is its scale remedy, measured beside it. `dedup_clusters` rounds are
+O(log component diameter) and must NOT grow with n.
+"""
 
 
 def main() -> None:

@@ -20,6 +20,14 @@ from wage_etl_spark.functions.hashing import (
 )
 from wage_etl_spark.functions.text import ws_tokens
 
+# Diagnostics from the most recent lsh_jaccard_verified / dedup_clusters call
+# in this process: which broadcast-gate path fired (and its inputs), how many
+# label-propagation rounds ran. Purely observational — written last thing
+# before return, read by bench/scale harnesses to make gate/convergence
+# behavior auditable at each scale. Not thread-safe (same single-session
+# ownership note as operators.caching).
+LAST_RUN_STATS: dict = {}
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group by md5(text): keeper = min(id), n_dups = count. One hash
@@ -206,14 +214,18 @@ def lsh_jaccard_verified(
         "id_a", "id_b"
     )
     pair_hint = attach_hint = broadcast
+    gate = {"op": "lsh_jaccard_verified", "path": "broadcast", "n_pairs": None,
+            "avg_text_bytes": None}
     if broadcast_max_pairs is not None:
         from pyspark import StorageLevel
 
         pairs = register_cache(pairs.persist(StorageLevel.MEMORY_AND_DISK))
         n_pairs = pairs.count()
+        gate["n_pairs"] = n_pairs
         if n_pairs > broadcast_max_pairs:
             # identity: let the planner/AQE decide
             pair_hint = attach_hint = lambda d: d  # noqa: E731
+            gate["path"] = "planner"
         else:
             # octet_length (bytes, not chars — UTF-8 text is 2-4x chars) plus
             # a 2x safety factor for in-memory broadcast row overhead, so the
@@ -224,8 +236,11 @@ def lsh_jaccard_verified(
                 ]
                 or 0.0
             )
+            gate["avg_text_bytes"] = round(avg_len, 1)
             if n_pairs * (avg_len + 48) * 2 > broadcast_max_bytes:
                 attach_hint = lambda d: d  # noqa: E731
+                gate["path"] = "pairs_broadcast_attach_shuffle"
+    LAST_RUN_STATS["lsh_jaccard_verified"] = gate
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
     j = b.join(attach_hint(a.join(pair_hint(pairs), "id_a")), "id_b")
@@ -282,7 +297,9 @@ def dedup_clusters(
 
     prev_cache: DataFrame | None = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nb = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -329,6 +346,7 @@ def dedup_clusters(
     from wage_etl_spark.operators.caching import register_cache
 
     register_cache(prev_cache)
+    LAST_RUN_STATS["dedup_clusters"] = {"rounds": rounds}
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -185,6 +185,53 @@ def cosine_near_dups(
     return pairs
 
 
+def cosine_near_dups_scaled(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+    target_bucket_rows: int = 512,
+    nprobe: int = 1,
+    seed: int = 42,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """``cosine_near_dups`` with a coarse partition SIZED TO THE CORPUS.
+
+    The base operator trusts an existing label column; with its cardinality
+    fixed by the data (e.g. the driver table's 10 labels), within-bucket
+    candidate volume is n^2/k — QUADRATIC in corpus size (measured: 2x
+    vectors -> ~4x candidates -> ~8x wall in BENCH/sf1_scale.json). The
+    standard IVF remedy is to grow the bucket count with n. Here the coarse
+    partition is derived from deterministic hyperplane LSH with
+    ``n_planes = ceil(log2(n / target_bucket_rows))``, so expected bucket
+    size stays ~``target_bucket_rows`` and candidate volume is
+    ~n * target_bucket_rows — LINEAR in n at fixed target. Bucket centroids
+    then seed the same nearest-centroid assignment as the base operator
+    (``nprobe > 1`` available for the boundary-miss remedy; single-probe
+    has the usual recall trade-off, which grows with bucket count).
+
+    ``n_rows``: pass the known corpus size to skip the sizing ``count()``
+    (at lake scale it comes from table stats / parquet footers for free).
+    Precision is exact either way (candidates face the exact rounded-cosine
+    filter), so every returned pair is a true pair; only recall depends on
+    the partition."""
+    import math
+
+    if n_rows is None:
+        n_rows = corpus.count()
+    n_planes = max(2, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0))))
+    b = hyperplane_lsh_buckets(corpus, vec_col, id_col, n_planes=n_planes, seed=seed)
+    labeled = corpus.join(b, id_col)
+    return cosine_near_dups(
+        labeled,
+        vec_col=vec_col,
+        id_col=id_col,
+        label_col="lsh_bucket",
+        min_cosine=min_cosine,
+        nprobe=nprobe,
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
