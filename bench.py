@@ -802,13 +802,27 @@ def _sf1_section() -> str:
 ## One decade up: sf1 scale point (scripts/sf1_scale.py, BENCH/sf1_scale.json)
 
 CDC replay at 10x the bench stream, same synthetic profile, sha256-verified
-both scales in the SAME session (host-comparable):
+both scales in the SAME session (host-comparable), after a 1M-event untimed
+warmup leg (a session's first replay runs ~3x below steady state), bucket
+count sized to the data at ~400k events/bucket, floored at 2x cores
+(num_buckets {ref.get('num_buckets', '?')} at 1x, {big.get('num_buckets', '?')}
+at 10x — a FIXED bucket count at 10x volume makes every reducer 10x larger
+and measurably halves throughput):
 {ref.get('events', 0):,} events -> **{ref.get('events_per_sec', 0):,} events/s**
-(verify_equal={ref.get('verify_equal')}); {big.get('events', 0):,} events ->
+(median of {len(ref.get('runs_events_per_sec', []) or [0])} replays
+{ref.get('runs_events_per_sec')} — host CPU-steal noise on this VM is bursty
+with up to ~5x run-to-run spread, and a dataset's first replay ramps (JIT +
+shuffle machinery), so BOTH legs report a median over repeated replays of
+the same events parquet; verify_equal={ref.get('verify_equal')});
+{big.get('events', 0):,} events ->
 **{big.get('events_per_sec', 0):,} events/s**
-(verify_equal={big.get('verify_equal')}, verify {big.get('verify_s', '?')} s).
-Throughput ratio 10x/1x = **{s.get('cdc_throughput_ratio')}** (>1 means the
-fixed per-run floor amortizes; ~1 means steady-state linear scaling held).
+(median of {len(big.get('runs_events_per_sec', []) or [0])} replays
+{big.get('runs_events_per_sec')};
+verify_equal={big.get('verify_equal')}, verify {big.get('verify_s', '?')} s).
+Throughput ratio 10x/1x = **{s.get('cdc_throughput_ratio')}** (~1 or above
+means the per-event cost did NOT grow one decade up — steady-state linear
+scaling held; compare the raw run arrays, not just the medians: both legs
+ramp over their first runs and plateau at the same ~1M events/s).
 
 Expensive training-data queries at a 10x corpus ({s.get('corpus', {}).get('docs', 0):,}
 docs / {s.get('corpus', {}).get('vecs', 0):,} vectors, synthesized by

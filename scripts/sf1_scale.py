@@ -44,7 +44,7 @@ sys.path.insert(0, REPO)
 # partition writer + row-group buffers); the engine default 8g heap OOMs —
 # this run sizes the single local JVM like the multi-executor cluster it
 # stands in for (the box has 125 GiB; data on tmpfs peaks ~25 GiB).
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
 import bench  # noqa: E402  (reuses synth/replay/verify harness + tmpfs config)
 
@@ -135,22 +135,52 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
-def run_cdc(spark, tmp: str, n_events: int, tag: str) -> dict:
+def _buckets_for(n_events: int) -> int:
+    """Size the bucket count to the DATA, not the cores (the BASELINE.md
+    partition-sizing rule): ~400k events per bucket keeps reducer memory
+    flat as volume grows. A fixed bucket count at 10x volume makes each
+    reducer 10x larger — measured: 100M events at 64 buckets ran at ~0.5x
+    the warm 10M throughput purely from oversized reducers."""
+    return max(2 * bench.CPUS, n_events // 400_000)
+
+
+def run_cdc(spark, tmp: str, n_events: int, tag: str, n_runs: int = 1) -> dict:
+    """Synthesize once, replay ``n_runs`` times (fresh warehouse each),
+    sha256-verify the last, report the MEDIAN events/s with every raw
+    number kept. Host CPU-steal noise on this VM is multiplicative and
+    bursty (measured 5x spread across back-to-back identical 10M
+    replays), and a dataset's FIRST replay ramps (JIT + shuffle
+    machinery), so a single-run leg under-reads; both scale legs use the
+    same repeated-replay methodology so the 10x/1x ratio is fair."""
+    import statistics
+
     events_path = os.path.join(tmp, f"events_{tag}")
     t0 = time.monotonic()
     bench.synth_events_parquet(spark, events_path, n_events)
     synth_s = round(time.monotonic() - t0, 2)
-    wh = os.path.join(tmp, f"wh_{tag}")
+    runs = []
+    r: dict = {}
     try:
-        r = bench.run_cdc_replay(
-            spark, events_path, wh, num_buckets=max(2 * bench.CPUS, 32), verify=True
-        )
+        for i in range(n_runs):
+            wh = os.path.join(tmp, f"wh_{tag}{i}")
+            try:
+                r = bench.run_cdc_replay(
+                    spark, events_path, wh,
+                    num_buckets=_buckets_for(n_events),
+                    verify=(i == n_runs - 1),
+                )
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
+            runs.append(r["events_per_sec"])
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(events_path, ignore_errors=True)
     r["synth_s"] = synth_s
-    print(f"  cdc {tag}: {r['events']:,} events, {r['events_per_sec']:,} ev/s, "
-          f"verify_equal={r.get('verify_equal')} in {r.get('verify_s')}s", flush=True)
+    r["num_buckets"] = _buckets_for(n_events)
+    r["runs_events_per_sec"] = runs
+    r["events_per_sec"] = round(statistics.median(runs), 1)
+    print(f"  cdc {tag}: {r['events']:,} events, median {r['events_per_sec']:,} ev/s "
+          f"over {runs}, verify_equal={r.get('verify_equal')} in {r.get('verify_s')}s",
+          flush=True)
     return r
 
 
@@ -170,39 +200,64 @@ def main() -> None:
         "cpus": bench.CPUS,
         "content_max": bench.CONTENT_MAX,
     }
+    # SF1_PHASE=cdc re-runs only the CDC legs and keeps the prior artifact's
+    # query section (and vice versa for =queries) — each phase is an
+    # independent measurement, so either can be refreshed alone
+    phase = os.environ.get("SF1_PHASE", "all")
+    prior_path = os.path.join(REPO, "BENCH", "sf1_scale.json")
+    prior = {}
+    if phase != "all" and os.path.exists(prior_path):
+        with open(prior_path) as f:
+            prior = json.load(f)
     try:
-        sf1_dir = os.path.join(tmp, "sf1")
-        print("building sf1 corpus ...", flush=True)
-        result["corpus"] = build_sf1_dir(spark, sf1_dir)
+        if phase in ("all", "queries"):
+            sf1_dir = os.path.join(tmp, "sf1")
+            print("building sf1 corpus ...", flush=True)
+            result["corpus"] = build_sf1_dir(spark, sf1_dir)
 
-        # warmup (python workers / JIT) so sf0.1's first query isn't cold
-        import __spark_entry__ as em
+            # warmup (python workers / JIT) so sf0.1's first query isn't cold
+            import __spark_entry__ as em
 
-        em.queries()["dedup_exact"](spark, SF01_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
+            em.queries()["dedup_exact"](spark, SF01_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
-        print("queries @ sf0.1 (same-session reference) ...", flush=True)
-        q01 = run_queries(spark, SF01_DIR)
-        print("queries @ sf1 (10x corpus) ...", flush=True)
-        q1 = run_queries(spark, sf1_dir)
-        result["queries"] = {
-            name: {
-                "sf0.1": q01[name],
-                "sf1": q1[name],
-                "wall_ratio": round(q1[name]["wall_s"] / max(q01[name]["wall_s"], 1e-9), 2),
-                "rows_ratio": round(q1[name]["rows"] / max(q01[name]["rows"], 1), 2),
+            print("queries @ sf0.1 (same-session reference) ...", flush=True)
+            q01 = run_queries(spark, SF01_DIR)
+            print("queries @ sf1 (10x corpus) ...", flush=True)
+            q1 = run_queries(spark, sf1_dir)
+            result["queries"] = {
+                name: {
+                    "sf0.1": q01[name],
+                    "sf1": q1[name],
+                    "wall_ratio": round(q1[name]["wall_s"] / max(q01[name]["wall_s"], 1e-9), 2),
+                    "rows_ratio": round(q1[name]["rows"] / max(q01[name]["rows"], 1), 2),
+                }
+                for name in QUERY_NAMES
             }
-            for name in QUERY_NAMES
-        }
+        else:
+            result["corpus"] = prior.get("corpus")
+            result["queries"] = prior.get("queries")
+        if phase == "queries":
+            for k in ("cdc_ref", "cdc_sf1", "cdc_throughput_ratio"):
+                if k in prior:
+                    result[k] = prior[k]
 
-        print(f"cdc replay @ {SF1_REF_EVENTS:,} (same-session reference) ...", flush=True)
-        result["cdc_ref"] = run_cdc(spark, tmp, SF1_REF_EVENTS, "ref")
-        print(f"cdc replay @ {SF1_EVENTS:,} ...", flush=True)
-        result["cdc_sf1"] = run_cdc(spark, tmp, SF1_EVENTS, "sf1")
-        result["cdc_throughput_ratio"] = round(
-            result["cdc_sf1"]["events_per_sec"] / result["cdc_ref"]["events_per_sec"], 3
-        )
+        if phase in ("all", "cdc"):
+            # warm the replay path (JIT, python workers, shuffle machinery)
+            # before the timed reference leg: the first replay in a session
+            # runs ~3x slower than steady state (215k cold vs 719k warm on
+            # the same 10M stream), which would overstate the 10x/1x ratio
+            print("cdc warmup (1M events, untimed) ...", flush=True)
+            run_cdc(spark, tmp, 1_000_000, "warm")
+            print(f"cdc replay @ {SF1_REF_EVENTS:,} (same-session reference, "
+                  f"median of 5) ...", flush=True)
+            result["cdc_ref"] = run_cdc(spark, tmp, SF1_REF_EVENTS, "ref", n_runs=5)
+            print(f"cdc replay @ {SF1_EVENTS:,} (median of 3) ...", flush=True)
+            result["cdc_sf1"] = run_cdc(spark, tmp, SF1_EVENTS, "sf1", n_runs=3)
+            result["cdc_throughput_ratio"] = round(
+                result["cdc_sf1"]["events_per_sec"] / result["cdc_ref"]["events_per_sec"], 3
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
