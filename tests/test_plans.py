@@ -180,7 +180,17 @@ def test_hyperplane_buckets_single_scan_jvm_only(spark):
     no join, no shuffle, no Python."""
     r = assert_plan(em.q_hyperplane_lsh_buckets(spark, SF), no_row_python=True)
     assert r.plan.count("FileScan") == 1, r.plan
-    assert "Exchange" not in r.plan, r.plan
+    # round 6: a narrow (single-split) input may gain ONE round-robin
+    # widening exchange (plans/partitioning.widen_if_narrow) so the bucket
+    # projection parallelizes; the scale guarantee stays — no keyed shuffle,
+    # no join, no broadcast (at production split counts widening is a no-op)
+    import re
+
+    keyed = [
+        ln for ln in r.plan.splitlines()
+        if re.search(r"\bExchange (?!RoundRobinPartitioning)", ln)
+    ]
+    assert not keyed, keyed
 
 
 def test_dedup_clusters_loop_is_ids_only(spark):

@@ -19,6 +19,7 @@ from wage_etl_spark.functions.hashing import (
     simhash64,
 )
 from wage_etl_spark.functions.text import ws_tokens
+from wage_etl_spark.plans.partitioning import widen_if_narrow
 
 # Diagnostics from the most recent lsh_jaccard_verified / dedup_clusters call
 # in this process: which broadcast-gate path fired (and its inputs), how many
@@ -77,7 +78,7 @@ def minhash_signatures(
     expression inside whole-stage codegen and gets map-side partial mins.
     (functions/hashing.minhash_signature remains the expression form for
     use inside other array pipelines.)"""
-    shingled = df.select(
+    shingled = widen_if_narrow(df).select(
         F.col(id_col), F.explode(token_shingles(text_col, k)).alias("_shingle")
     )
     # md5 is the expensive part: carve FOUR independent 32-bit hashes out of
@@ -126,6 +127,16 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # the self-join would otherwise plan the WHOLE signature pipeline
+    # (shingle explode + md5 + min-aggregate) once per side — measured as two
+    # identical subtrees in the physical plan. Persisting the signatures
+    # (id + num_hashes longs — tiny vs the corpus) computes it once; the
+    # broadcast side materializes the cache first, the stream side reads it.
+    from pyspark import StorageLevel
+
+    from wage_etl_spark.operators.caching import register_cache
+
+    sigs = register_cache(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(
         F.col(id_col).alias("id"),
         "signature",
@@ -230,6 +241,9 @@ def lsh_jaccard_verified(
             # octet_length (bytes, not chars — UTF-8 text is 2-4x chars) plus
             # a 2x safety factor for in-memory broadcast row overhead, so the
             # cap errs toward shuffle rather than driver OOM on non-ASCII.
+            # The build side now carries k-token SHINGLE ARRAYS (each token
+            # appears in up to k shingles), so the per-row estimate is
+            # 3x text bytes + array overhead rather than the raw text.
             avg_len = (
                 df.select(F.avg(F.octet_length(F.col(text_col))).alias("l")).first()[
                     "l"
@@ -237,14 +251,45 @@ def lsh_jaccard_verified(
                 or 0.0
             )
             gate["avg_text_bytes"] = round(avg_len, 1)
-            if n_pairs * (avg_len + 48) * 2 > broadcast_max_bytes:
+            if n_pairs * (avg_len * 3 + 80) * 2 > broadcast_max_bytes:
                 attach_hint = lambda d: d  # noqa: E731
                 gate["path"] = "pairs_broadcast_attach_shuffle"
     LAST_RUN_STATS["lsh_jaccard_verified"] = gate
-    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    # Shingle ONCE per candidate document, not once per expression mention:
+    # leaving token_shingles(text) inline in the jaccard expression made the
+    # optimizer clone the full shingle build into the pushed-down join
+    # condition AND the projection (~12 evaluations per candidate row in the
+    # measured plan — 3 mentions x 2 sides x {filter, project}). Each side is
+    # first SEMI-JOIN-REDUCED to the ids that actually appear in a candidate
+    # pair (guide §3.2: cut the big side before it moves — at corpus scale
+    # candidates << corpus, and the inner pair join drops non-candidates
+    # anyway, so the reduction is a no-op semantically), then shingled and
+    # persisted: the cache is an optimizer barrier, so every downstream
+    # mention reads the materialized array column instead of recomputing it.
+    def _shingled_side(pair_id: str) -> DataFrame:
+        side = df
+        if broadcast_max_pairs is not None:
+            # pair_hint mirrors the gate: candidate ids are broadcast only
+            # when the pair set itself is under the row cap (the planner
+            # path must not smuggle an unbounded broadcast back in)
+            cand = pairs.select(F.col(pair_id).alias(id_col)).distinct()
+            side = side.join(pair_hint(cand), id_col, "leftsemi")
+        side = side.select(
+            F.col(id_col).alias(pair_id),
+            token_shingles(text_col, k).alias(f"_sh{pair_id[-2:]}"),
+        )
+        from pyspark import StorageLevel
+
+        return register_cache(side.persist(StorageLevel.MEMORY_AND_DISK))
+
+    a = _shingled_side("id_a")
+    b = _shingled_side("id_b")
     j = b.join(attach_hint(a.join(pair_hint(pairs), "id_a")), "id_b")
-    out = ngram_jaccard(j, "text_a", "text_b", k)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    out = j.withColumn(
+        "jaccard", F.when(union > 0, inter / union).otherwise(0.0)
+    )
     return out.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "jaccard"
     )
@@ -292,10 +337,28 @@ def dedup_clusters(
     ids = edges.select(F.col("src").alias("id"))
     if nodes is not None:
         ids = ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))
-    labels = ids.distinct().withColumn("label", F.col("id")).localCheckpoint()
+    # Fold the FIRST propagation step into label initialization (round-5
+    # verdict task #6): with labels == ids, "min over self + neighbors'
+    # labels" is just least(id, min neighbor id) — one aggregate + one left
+    # join instead of a full round's two joins + an extra action (and on
+    # quasi-clique near-dup graphs the loop then converges in ONE verifying
+    # round instead of two). Min-label propagation reaches the same
+    # component-minimum fixed point under any schedule — labels only ever
+    # decrease within the component's id set and the loop still runs to
+    # stability — so this changes the round count, never the result.
+    nb0 = edges.groupBy("src").agg(F.min("dst").alias("_nb"))
+    labels = (
+        ids.distinct()
+        .join(nb0, F.col("id") == nb0["src"], "left")
+        .select(
+            F.col("id"),
+            F.least(F.col("id"), F.coalesce(F.col("_nb"), F.col("id"))).alias("label"),
+        )
+    )
     from pyspark import StorageLevel
 
-    prev_cache: DataFrame | None = None
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    prev_cache: DataFrame | None = labels
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -366,7 +429,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 60
     """(id, simhash) via explode + flat per-bit vote aggregates — the
     codegen-friendly shape (the expression form in functions/hashing is
     interpreted and ~50x slower at corpus scale; see minhash_signatures)."""
-    toks = df.select(
+    toks = widen_if_narrow(df).select(
         F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("_t")
     )
     hashed = toks.select(
@@ -432,6 +495,14 @@ def simhash_near_dups(
             stacklevel=2,
         )
     sh = simhash_signatures(df, text_col, id_col)
+    # same double-compute hazard as minhash_lsh_pairs: without a persist the
+    # self-join re-plans the whole signature build (token explode + 60-bit
+    # vote aggregate) on both sides. (id, simhash) is 16 bytes/row.
+    from pyspark import StorageLevel
+
+    from wage_etl_spark.operators.caching import register_cache
+
+    sh = register_cache(sh.persist(StorageLevel.MEMORY_AND_DISK))
     if n_tables <= 1:
         bucketed = sh.withColumn(
             "t", F.lit(0)

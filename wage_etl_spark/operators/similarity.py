@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
+from wage_etl_spark.plans.partitioning import widen_if_narrow
+
 
 def as_double(vec: F.Column | str) -> F.Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -46,13 +48,19 @@ def brute_force_topk(
     side); ranking window is per-query (bounded state). Excludes self-match.
 
     Ties broken by neighbor id so results are deterministic across engines."""
+    # norms are per-vector, not per-pair: computing them once per row before
+    # the join (instead of inside cosine() per joined pair) drops 2 of the 3
+    # interpreted array folds per candidate — dot/(qn*cn) multiplies the
+    # same doubles in the same order, so results are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    ).withColumn("qn", norm(F.col("qv")))
+    c = widen_if_narrow(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
@@ -101,13 +109,20 @@ def assign_nearest_centroid(
     remedy for the single-probe boundary miss: a pair/query straddling a
     centroid boundary is caught because both sides now share at least one
     probed cluster, at the cost of ``nprobe``x candidate volume."""
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-    x = c.crossJoin(broadcast(centroids))
+    # per-row norms precomputed before the centroid cross product (same
+    # arithmetic order as cosine(): dot/(norm(v)*norm(centroid)) — see
+    # brute_force_topk): one norm fold per vector + one per centroid instead
+    # of two per (vector, centroid) candidate.
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    cents = centroids.withColumn("_nc", norm(F.col("centroid")))
+    x = c.crossJoin(broadcast(cents))
     w = Window.partitionBy(id_col).orderBy(
         F.round(F.col("sim"), 6).desc(), F.col("label").asc()
     )
     return (
-        x.withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+        x.withColumn("sim", dot(F.col("v"), F.col("centroid")) / (F.col("_nv") * F.col("_nc")))
         .withColumn("probe_rank", F.row_number().over(w))
         .filter(F.col("probe_rank") <= nprobe)
         .select(
@@ -144,15 +159,19 @@ def cosine_near_dups(
 
     Deterministic across engines (centroids rounded, cosine rounded before
     the threshold), so the DuckDB oracle replicates it exactly."""
+    corpus = widen_if_narrow(corpus)
     cents = label_centroids(corpus, vec_col, label_col).select(
         "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
     )
     assigned = assign_nearest_centroid(
         corpus, cents, vec_col, id_col, nprobe=nprobe
     ).select(F.col(id_col), "assigned_label")
+    # per-row norm cached alongside the vector: the pair stage then computes
+    # ONE dot per candidate instead of dot + 2 norms (same doubles multiplied
+    # in the same order as cosine(), so the rounded result is bit-identical)
     c = corpus.join(assigned, id_col).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "assigned_label"
-    )
+    ).withColumn("nv", norm(F.col("v")))
     # materialize the assignment once: the self-join would otherwise
     # recompute the centroid build + nearest-centroid window on BOTH sides
     # (this is the ANN index-build step — at corpus scale you persist it to
@@ -173,7 +192,9 @@ def cosine_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
@@ -217,6 +238,7 @@ def cosine_near_dups_scaled(
     the partition."""
     import math
 
+    corpus = widen_if_narrow(corpus)
     if n_rows is None:
         n_rows = corpus.count()
     n_planes = max(2, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0))))
@@ -268,23 +290,27 @@ def ivf_ann_topk(
     idx = assign_nearest_centroid(corpus, cents, vec_col, id_col).select(
         F.col(id_col), "assigned_label"
     )
+    # per-row norms before the probe join (same arithmetic order as
+    # cosine(): dot/(norm(qv)*norm(cv)) — one norm per vector, not per
+    # candidate)
     c = corpus.join(idx, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
         "assigned_label",
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     q_probes = assign_nearest_centroid(
         queries, cents, vec_col, id_col, nprobe=nprobe
     ).select(F.col(id_col).alias("query_id"), F.col("assigned_label").alias("q_label"))
     q = (
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
         .join(q_probes, "query_id")
     )
     scored = c.join(
         broadcast(q),
         (F.col("assigned_label") == F.col("q_label"))
         & (F.col("neighbor_id") != F.col("query_id")),
-    ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    ).withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
     )
@@ -293,6 +319,33 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+# hyperplane components are a pure function of (seed, plane, dim) — they can
+# be computed ONCE driver-side and embedded as literal arrays instead of
+# re-deriving 1 md5+conv per (row, plane, dim) inside an interpreted
+# higher-order transform (measured: the md5 build dominated the whole bucket
+# projection). Literals cover dims <= _PLANE_LIT_MAX_DIM; wider vectors fall
+# back to the original per-row construction, so semantics are unchanged at
+# any dimensionality.
+_PLANE_LIT_MAX_DIM = 128
+
+
+def _plane_signs(n_planes: int, seed: int, max_dim: int = _PLANE_LIT_MAX_DIM):
+    """±1.0 plane components, bit-identical to the in-plan md5 construction:
+    hashlib.md5 of the same 'seed|plane|dim' string Spark's
+    md5(concat_ws('|', ...)) hashes."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for d in range(max_dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def hyperplane_lsh_buckets(
@@ -305,14 +358,20 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH bucket id per vector: bit i = sign(dot(v, r_i))
     where r_i components are deterministic +/-1 from md5 of (seed, plane,
     dim). Cosine-similar vectors collide with prob 1 - theta/pi per bit.
-    ANN then probes only the query's bucket (and neighbors at scale)."""
+    ANN then probes only the query's bucket (and neighbors at scale).
+
+    The planes are precomputed driver-side as literal arrays (see
+    _plane_signs) — same values as the md5-in-plan construction, which is
+    kept as the fallback branch for vectors wider than _PLANE_LIT_MAX_DIM."""
     v = as_double(vec_col)
     dims = F.size(v)
+    signs = _plane_signs(n_planes, seed)
+
     def _plane_bit(p: int) -> F.Column:
         # r_p[d] = +1/-1 from md5(seed|p|d): deterministic pseudo-hyperplane.
         # Single-parameter lambdas only (2-arg transform lambdas mean
         # (element, index) in PySpark and would shadow the closure).
-        plane = F.transform(
+        fallback = F.transform(
             F.sequence(F.lit(0), dims - 1),
             lambda d: F.when(
                 F.conv(
@@ -325,6 +384,10 @@ def hyperplane_lsh_buckets(
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0)),
         )
+        lit_plane = F.array(*[F.lit(x) for x in signs[p]])
+        plane = F.when(
+            dims <= _PLANE_LIT_MAX_DIM, F.slice(lit_plane, 1, dims)
+        ).otherwise(fallback)
         proj = F.aggregate(
             F.zip_with(v, plane, lambda x, r: x * r), F.lit(0.0), lambda s, x: s + x
         )
@@ -334,4 +397,4 @@ def hyperplane_lsh_buckets(
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return corpus.select(F.col(id_col), bucket.alias("lsh_bucket"))
+    return widen_if_narrow(corpus).select(F.col(id_col), bucket.alias("lsh_bucket"))

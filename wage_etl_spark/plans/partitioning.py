@@ -86,3 +86,38 @@ def repartition_exact(
     return df.withColumn(token_col, exact_partition_column(combo, n)).repartition(
         n, token_col
     )
+
+
+_WIDEN_UNSAFE = (
+    "Join", "Aggregate", "Window", "Repartition", "Sort", "Limit",
+    "MapInPandas", "MapInArrow", "Deduplicate", "Generate",
+)
+
+
+def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive scan widening (optimization guide §2.2/§6): a tiny
+    input arrives as ONE parquet split, which serializes every
+    expression-heavy narrow stage built on it (md5/minhash/shingle/vector
+    math) onto a single core while the other N-1 idle. Round-robin
+    repartition to the session's default parallelism ONLY when the input is
+    narrower than that — at production scale inputs already carry >= cores
+    splits and this is a no-op (no shuffle added), so the decision is sized
+    by the data, not tuned to local mode.
+
+    Safe on arbitrary inputs: probing partition count via ``df.rdd`` on a
+    plan containing exchanges executes its AQE query stages (measured — it
+    runs the shuffles), so any plan whose analyzed tree contains a
+    shuffle-introducing or opaque node (join/aggregate/window/sort/
+    repartition/limit/python-map) is returned unchanged — those plans get
+    their parallelism from shuffle partitioning already."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(tok in plan for tok in _WIDEN_UNSAFE):
+            return df
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if 0 < n < target:
+        return df.repartition(target)
+    return df
