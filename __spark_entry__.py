@@ -173,7 +173,7 @@ def q_broadcast_enum_join(spark: SparkSession, sf: str) -> DataFrame:
         [("signup", "acquisition"), ("click", "engagement"), ("view", "engagement"),
          ("purchase", "revenue")],
         "event_type string, category string",
-    )
+    ).coalesce(1)
     ev = _t(spark, sf, "events")
     return (
         ev.join(broadcast(dim), "event_type", "left")
@@ -212,7 +212,7 @@ MONEY_FIXTURE = [
 def q_currency_clean(spark: SparkSession, sf: str) -> DataFrame:
     """F1: currency cleaning on the reference's own fixture shapes
     (tests/unit/test_transform_pandas_ops.py:73-98)."""
-    df = spark.createDataFrame(MONEY_FIXTURE, "id int, raw string")
+    df = spark.createDataFrame(MONEY_FIXTURE, "id int, raw string").coalesce(1)
     return df.select("id", "raw", clean_currency("raw").alias("amount"))
 
 
@@ -690,7 +690,7 @@ def q_expense_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     pages = spark.createDataFrame(
         [("6075", HTML_PAGE_EXP_A), ("7", HTML_PAGE_EXP_B)],
         "page_id string, html string",
-    )
+    ).coalesce(1)  # 2 fixture rows: one Arrow batch / one python worker, not 32 near-empty tasks
     out = normalize_expense_pages(scan_html_tables(pages, min_tables=2))
     return out.select(
         "county_fips", "page_updated_at",
@@ -714,7 +714,7 @@ def q_html_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
 
     pages = spark.createDataFrame(
         [("34001", HTML_PAGE_1), ("7", HTML_PAGE_2)], "page_id string, html string"
-    )
+    ).coalesce(1)  # see q_expense_extract_lifecycle: fixture-sized input, single task
     out = normalize_scanned_pages(scan_html_tables(pages))
     return out.select(
         "county_fips", "page_updated_at",

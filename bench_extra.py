@@ -63,7 +63,20 @@ def main() -> None:
 
     def n_jobs() -> int:
         try:
-            return jsc.dagScheduler().nextJobId().get()
+            return int(jsc.dagScheduler().nextJobId())
+        except Exception:
+            return -1
+
+    def n_tasks_since(job_lo: int) -> int:
+        try:
+            store = jsc.statusStore()
+            jobs = store.jobsList(None)
+            total = 0
+            for i in range(jobs.size()):
+                j = jobs.apply(i)
+                if j.jobId() >= job_lo:
+                    total += j.numTasks()
+            return total
         except Exception:
             return -1
 
@@ -71,7 +84,7 @@ def main() -> None:
     for name, fn in qs.items():
         sc.setJobDescription(f"extra:{name}")
         runs = []
-        jobs_used = -1
+        jobs_used = tasks_used = -1
         for i in range(args.iters):
             release_operator_caches()
             j0 = n_jobs()
@@ -81,12 +94,14 @@ def main() -> None:
             j1 = n_jobs()
             if j0 >= 0 and j1 >= 0:
                 jobs_used = j1 - j0
+                tasks_used = n_tasks_since(j0)
         release_operator_caches()
         out[name] = {
             "runs": runs,
             "median": round(statistics.median(runs), 3),
             "min": min(runs),
             "jobs": jobs_used,
+            "tasks": tasks_used,
         }
         if args.plans_dir:
             os.makedirs(os.path.join(REPO, args.plans_dir), exist_ok=True)

@@ -114,6 +114,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    with_estimate: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (Leskovec et al., MMDS ch.3):
     split the signature into `bands` bands of r = num_hashes/bands rows; a
@@ -131,7 +132,9 @@ def minhash_lsh_pairs(
     # (shingle explode + md5 + min-aggregate) once per side — measured as two
     # identical subtrees in the physical plan. Persisting the signatures
     # (id + num_hashes longs — tiny vs the corpus) computes it once; the
-    # broadcast side materializes the cache first, the stream side reads it.
+    # band self-join's candidate output is bounded by the true pair count,
+    # so (unlike the cosine pair stage) AQE-coalesced parallelism is fine
+    # here and cheaper than pinning an explicit partition count.
     from pyspark import StorageLevel
 
     from wage_etl_spark.operators.caching import register_cache
@@ -155,14 +158,23 @@ def minhash_lsh_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
+    joined = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.id") < F.col("r.id")),
+    )
+    if not with_estimate:
+        # callers that re-verify candidates exactly (lsh_jaccard_verified)
+        # discard the estimate — but the interpreted zip_with over both
+        # signatures survived pruning into the cached candidate plan
+        # (measured: 5 zip_with mentions), so skip building it at all; the
+        # signature columns then prune out of the band join too.
+        return joined.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        ).distinct()
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
+        joined.select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             (
@@ -221,72 +233,83 @@ def lsh_jaccard_verified(
     ``release_operator_caches()`` between them (bench.py does)."""
     from wage_etl_spark.operators.caching import register_cache
 
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k).select(
-        "id_a", "id_b"
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, k, with_estimate=False
     )
     pair_hint = attach_hint = broadcast
     gate = {"op": "lsh_jaccard_verified", "path": "broadcast", "n_pairs": None,
             "avg_text_bytes": None}
     if broadcast_max_pairs is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark import StorageLevel
 
         pairs = register_cache(pairs.persist(StorageLevel.MEMORY_AND_DISK))
-        n_pairs = pairs.count()
+        # the candidate count (materializes the LSH pipeline into the cache)
+        # and the text-length probe read DIFFERENT tables and share nothing:
+        # submit both actions from a 2-thread pool so the probe rides the
+        # count's idle executors instead of serializing after it (guide
+        # §2.6 overlap independent jobs). Same two values, one job wall.
+        # octet_length (bytes, not chars — UTF-8 text is 2-4x chars) plus
+        # a 2x safety factor for in-memory broadcast row overhead, so the
+        # cap errs toward shuffle rather than driver OOM on non-ASCII.
+        # The build side carries k-token SHINGLE ARRAYS (each token appears
+        # in up to k shingles), so the per-row estimate is 3x text bytes +
+        # array overhead rather than the raw text.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_n = pool.submit(pairs.count)
+            f_len = pool.submit(
+                lambda: df.select(
+                    F.avg(F.octet_length(F.col(text_col))).alias("l")
+                ).first()["l"]
+            )
+            n_pairs = f_n.result()
+            avg_len = f_len.result() or 0.0
         gate["n_pairs"] = n_pairs
         if n_pairs > broadcast_max_pairs:
             # identity: let the planner/AQE decide
             pair_hint = attach_hint = lambda d: d  # noqa: E731
             gate["path"] = "planner"
         else:
-            # octet_length (bytes, not chars — UTF-8 text is 2-4x chars) plus
-            # a 2x safety factor for in-memory broadcast row overhead, so the
-            # cap errs toward shuffle rather than driver OOM on non-ASCII.
-            # The build side now carries k-token SHINGLE ARRAYS (each token
-            # appears in up to k shingles), so the per-row estimate is
-            # 3x text bytes + array overhead rather than the raw text.
-            avg_len = (
-                df.select(F.avg(F.octet_length(F.col(text_col))).alias("l")).first()[
-                    "l"
-                ]
-                or 0.0
-            )
             gate["avg_text_bytes"] = round(avg_len, 1)
             if n_pairs * (avg_len * 3 + 80) * 2 > broadcast_max_bytes:
                 attach_hint = lambda d: d  # noqa: E731
                 gate["path"] = "pairs_broadcast_attach_shuffle"
     LAST_RUN_STATS["lsh_jaccard_verified"] = gate
-    # Shingle ONCE per candidate document, not once per expression mention:
-    # leaving token_shingles(text) inline in the jaccard expression made the
-    # optimizer clone the full shingle build into the pushed-down join
-    # condition AND the projection (~12 evaluations per candidate row in the
-    # measured plan — 3 mentions x 2 sides x {filter, project}). Each side is
-    # first SEMI-JOIN-REDUCED to the ids that actually appear in a candidate
-    # pair (guide §3.2: cut the big side before it moves — at corpus scale
-    # candidates << corpus, and the inner pair join drops non-candidates
-    # anyway, so the reduction is a no-op semantically), then shingled and
-    # persisted: the cache is an optimizer barrier, so every downstream
-    # mention reads the materialized array column instead of recomputing it.
-    def _shingled_side(pair_id: str) -> DataFrame:
-        side = df
-        if broadcast_max_pairs is not None:
-            # pair_hint mirrors the gate: candidate ids are broadcast only
-            # when the pair set itself is under the row cap (the planner
-            # path must not smuggle an unbounded broadcast back in)
-            cand = pairs.select(F.col(pair_id).alias(id_col)).distinct()
-            side = side.join(pair_hint(cand), id_col, "leftsemi")
-        side = side.select(
-            F.col(id_col).alias(pair_id),
-            token_shingles(text_col, k).alias(f"_sh{pair_id[-2:]}"),
+    # Shingle ONCE per candidate document, not once per expression mention
+    # or per pair side: leaving token_shingles(text) inline in the jaccard
+    # expression made the optimizer clone the full shingle build into the
+    # pushed-down join condition AND the projection (~12 evaluations per
+    # candidate row in the measured plan), and building one shingled table
+    # per pair side planned the semi-join + shingle pipeline twice. ONE
+    # table of candidate ids (either pair side), semi-join-reduced (guide
+    # §3.2: cut the big side before it moves — the inner pair joins drop
+    # non-candidates anyway, so the reduction is a no-op semantically),
+    # shingled and persisted: the cache is an optimizer barrier, so every
+    # downstream mention reads the materialized array column.
+    side = df
+    if broadcast_max_pairs is not None:
+        # pair_hint mirrors the gate: candidate ids are broadcast only when
+        # the pair set itself is under the row cap (the planner path must
+        # not smuggle an unbounded broadcast back in)
+        cand = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-        from pyspark import StorageLevel
+        side = side.join(pair_hint(cand), id_col, "leftsemi")
+    sh = side.select(F.col(id_col), token_shingles(text_col, k).alias("_sh"))
+    from pyspark import StorageLevel
 
-        return register_cache(side.persist(StorageLevel.MEMORY_AND_DISK))
-
-    a = _shingled_side("id_a")
-    b = _shingled_side("id_b")
+    sh = register_cache(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     j = b.join(attach_hint(a.join(pair_hint(pairs), "id_a")), "id_b")
+    # shingle arrays are array_distinct outputs, so |A ∪ B| is exactly
+    # |A| + |B| - |A ∩ B|: one hash-intersect per pair instead of an
+    # intersect AND a union (same integers, identical double division).
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    union = (F.size("_sh_a") + F.size("_sh_b")).cast("double") - inter
     out = j.withColumn(
         "jaccard", F.when(union > 0, inter / union).otherwise(0.0)
     )
@@ -328,12 +351,17 @@ def dedup_clusters(
     rounds elapse without convergence — silent wrong labels are never
     returned. Returns a deterministic assignment (min is
     order-independent)."""
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # checkpoint edges FIRST: labels derive from the materialized edges, so
-    # an expensive upstream pair pipeline (LSH + verify) runs exactly once
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # checkpoint the DIRECTED pairs first, then symmetrize from the
+    # materialized set: a union of two branches that both plan the upstream
+    # pair pipeline (LSH + shingle verify) executes that pipeline once per
+    # branch — checkpointing before the union halves the most expensive
+    # subtree (measured as the dominant job of this operator). The union
+    # itself is narrow (no shuffle) and recomputes from the checkpointed
+    # RDD only.
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint()
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ids = edges.select(F.col("src").alias("id"))
     if nodes is not None:
         ids = ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))

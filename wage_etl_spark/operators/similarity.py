@@ -100,6 +100,7 @@ def assign_nearest_centroid(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 1,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """IVF partition assignment: nearest centroid(s) by cosine (broadcast
     the centroid table; corpus scanned once, never shuffled).
@@ -108,7 +109,14 @@ def assign_nearest_centroid(
     (one output row per probe, ``probe_rank`` 1..nprobe) — the multi-probe
     remedy for the single-probe boundary miss: a pair/query straddling a
     centroid boundary is caught because both sides now share at least one
-    probed cluster, at the cost of ``nprobe``x candidate volume."""
+    probed cluster, at the cost of ``nprobe``x candidate volume.
+
+    ``keep_vector=True`` additionally returns the double-cast vector (``v``)
+    and its norm (``nv``) alongside each assignment. The ranking window
+    already shuffles both (they ride the candidate rows), so passing them
+    through is free — and it saves callers that need (vector, norm,
+    assignment) a full corpus re-join + norm recompute (one exchange + one
+    broadcast fewer per consumer; guide §2.4)."""
     # per-row norms precomputed before the centroid cross product (same
     # arithmetic order as cosine(): dot/(norm(v)*norm(centroid)) — see
     # brute_force_topk): one norm fold per vector + one per centroid instead
@@ -121,6 +129,7 @@ def assign_nearest_centroid(
     w = Window.partitionBy(id_col).orderBy(
         F.round(F.col("sim"), 6).desc(), F.col("label").asc()
     )
+    extra = [F.col("v"), F.col("_nv").alias("nv")] if keep_vector else []
     return (
         x.withColumn("sim", dot(F.col("v"), F.col("centroid")) / (F.col("_nv") * F.col("_nc")))
         .withColumn("probe_rank", F.row_number().over(w))
@@ -130,6 +139,7 @@ def assign_nearest_centroid(
             F.col("label").alias("assigned_label"),
             "probe_rank",
             F.round("sim", 4).alias("sim"),
+            *extra,
         )
     )
 
@@ -163,25 +173,34 @@ def cosine_near_dups(
     cents = label_centroids(corpus, vec_col, label_col).select(
         "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
     )
-    assigned = assign_nearest_centroid(
-        corpus, cents, vec_col, id_col, nprobe=nprobe
-    ).select(F.col(id_col), "assigned_label")
     # per-row norm cached alongside the vector: the pair stage then computes
     # ONE dot per candidate instead of dot + 2 norms (same doubles multiplied
-    # in the same order as cosine(), so the rounded result is bit-identical)
-    c = corpus.join(assigned, id_col).select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "assigned_label"
-    ).withColumn("nv", norm(F.col("v")))
+    # in the same order as cosine(), so the rounded result is bit-identical).
+    # keep_vector=True carries (v, nv) through the assignment window —
+    # replacing the corpus ⋈ assignment re-join the index build used to pay.
+    c = assign_nearest_centroid(
+        corpus, cents, vec_col, id_col, nprobe=nprobe, keep_vector=True
+    ).select(F.col(id_col).alias("id"), F.col("v"), "assigned_label", F.col("nv"))
     # materialize the assignment once: the self-join would otherwise
     # recompute the centroid build + nearest-centroid window on BOTH sides
     # (this is the ANN index-build step — at corpus scale you persist it to
     # the lake, here MEMORY_AND_DISK). Registered with operators.caching so
     # long-lived sessions can release it between queries (round-3 ADVICE).
+    # Hash-partition the index on the join key with an EXPLICIT count before
+    # persisting (guide §2.4): both sides of the self-join read the same
+    # cached partitioning, so the pair join plans with zero exchanges — and
+    # because an explicit repartition is never AQE-coalesced, the pair
+    # EXPANSION keeps its parallelism even though its input bytes are tiny
+    # (exploding join, guide §3.3: post-shuffle sizing by input bytes
+    # serializes a stage whose output is quadratic in its input).
     from pyspark import StorageLevel
 
     from wage_etl_spark.operators.caching import register_cache
 
-    c = register_cache(c.persist(StorageLevel.MEMORY_AND_DISK))
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c = register_cache(
+        c.repartition(n_part, "assigned_label").persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = c.alias("a"), c.alias("b")
     pairs = (
         a.join(
@@ -287,24 +306,26 @@ def ivf_ann_topk(
             "label", F.transform("centroid", lambda x: F.round(x, 8)).alias("centroid")
         )
     )
-    idx = assign_nearest_centroid(corpus, cents, vec_col, id_col).select(
-        F.col(id_col), "assigned_label"
-    )
     # per-row norms before the probe join (same arithmetic order as
     # cosine(): dot/(norm(qv)*norm(cv)) — one norm per vector, not per
-    # candidate)
-    c = corpus.join(idx, id_col).select(
+    # candidate). keep_vector=True rides (vector, norm) through each
+    # assignment window, replacing the corpus ⋈ index and queries ⋈ probes
+    # re-joins (one exchange + broadcast fewer per side).
+    c = assign_nearest_centroid(
+        corpus, cents, vec_col, id_col, keep_vector=True
+    ).select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
+        F.col("v").alias("cv"),
         "assigned_label",
-    ).withColumn("cn", norm(F.col("cv")))
-    q_probes = assign_nearest_centroid(
-        queries, cents, vec_col, id_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("query_id"), F.col("assigned_label").alias("q_label"))
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-        .withColumn("qn", norm(F.col("qv")))
-        .join(q_probes, "query_id")
+        F.col("nv").alias("cn"),
+    )
+    q = assign_nearest_centroid(
+        queries, cents, vec_col, id_col, nprobe=nprobe, keep_vector=True
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("assigned_label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
     scored = c.join(
         broadcast(q),

@@ -47,7 +47,32 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by ADVISORY BYTES, not up to the
+        # core count (guide §2.2: size partitions 100 MB-1 GB and let AQE
+        # coalesce): with parallelismFirst (the Spark default) a KB-sized
+        # shuffle still fans out to ~defaultParallelism reducers, so every
+        # AQE stage of a small query pays ~64 task launches for microseconds
+        # of work each. Advisory sizing is the scale policy, not a local
+        # tune: big shuffles still get bytes/advisory reducers.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # let AQE re-optimize (and coalesce) INSIDE persisted plans too: the
+        # LSH/ANN operators persist small intermediates, and with this off
+        # every cache-build shuffle keeps all spark.sql.shuffle.partitions
+        # reducers no matter how few bytes it carries
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when a side's per-partition
+        # build fits (optimization guide §3.1/§9): drops the two Sorts every
+        # equi-join otherwise pays; join RESULTS are identical. The AQE
+        # threshold additionally converts planned SMJs at runtime only when
+        # every post-shuffle partition is small enough to hash-build, so the
+        # choice is sized by the data, not by local-mode assumptions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -298,7 +298,11 @@ def synthesize_real_media(spark: SparkSession, n: int = 30, seed: int = 7) -> Da
         else:
             ns = 500 + 37 * i
             rows.append((i, "audio/wav", None, None, ns * 1000 // 16000, bytearray(make_wav(ns, seed=seed + i))))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # fixture-sized local relation: keep it to ONE partition so the Arrow
+    # decode pass costs one python-worker round-trip, not defaultParallelism
+    # near-empty tasks (the lake-scale path gets its partitioning from the
+    # source table, never from this generator)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
