@@ -28,6 +28,7 @@ from wage_etl_spark.operators import reshape as R
 from wage_etl_spark.functions.cleaning import clean_currency, normalize_category_key, slugify, zfill
 from wage_etl_spark.functions.hashing import rolling_fingerprint
 from wage_etl_spark.operators.dedup_lww import dedup_lww
+from wage_etl_spark.sources.fixtures import fixture_df
 from wage_etl_spark.operators.dedupe import exact_dedup, minhash_signatures
 from wage_etl_spark.operators.similarity import (
     as_double, assign_nearest_centroid, brute_force_topk, cosine, label_centroids,
@@ -169,11 +170,12 @@ def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
 def q_broadcast_enum_join(spark: SparkSession, sf: str) -> DataFrame:
     """J1/J2 analog: broadcast join against a literal dimension with slug
     fallback for unknown members (normalizers.py:62-72 semantics)."""
-    dim = spark.createDataFrame(
+    dim = fixture_df(
+        spark,
         [("signup", "acquisition"), ("click", "engagement"), ("view", "engagement"),
          ("purchase", "revenue")],
         "event_type string, category string",
-    ).coalesce(1)
+    )
     ev = _t(spark, sf, "events")
     return (
         ev.join(broadcast(dim), "event_type", "left")
@@ -212,7 +214,7 @@ MONEY_FIXTURE = [
 def q_currency_clean(spark: SparkSession, sf: str) -> DataFrame:
     """F1: currency cleaning on the reference's own fixture shapes
     (tests/unit/test_transform_pandas_ops.py:73-98)."""
-    df = spark.createDataFrame(MONEY_FIXTURE, "id int, raw string").coalesce(1)
+    df = fixture_df(spark, MONEY_FIXTURE, "id int, raw string")
     return df.select("id", "raw", clean_currency("raw").alias("amount"))
 
 
@@ -334,8 +336,9 @@ def q_wage_normalize(spark: SparkSession, sf: str) -> DataFrame:
     canonicalize w/ slug fallback -> currency clean -> constants."""
     from wage_etl_spark.operators.reshape import normalize_wages_wide
 
-    wide = spark.createDataFrame(
-        WAGE_WIDE_FIXTURE, f"`Category` string, `{WAGE_HEADERS[0]}` string, `{WAGE_HEADERS[1]}` string"
+    wide = fixture_df(
+        spark, WAGE_WIDE_FIXTURE,
+        f"`Category` string, `{WAGE_HEADERS[0]}` string, `{WAGE_HEADERS[1]}` string",
     )
     out = normalize_wages_wide(wide, "34001", "2025-01-15")
     return out.select(
@@ -687,10 +690,11 @@ def q_expense_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     from wage_etl_spark.operators.reshape import normalize_expense_pages
     from wage_etl_spark.sources.html_table import scan_html_tables
 
-    pages = spark.createDataFrame(
+    pages = fixture_df(
+        spark,
         [("6075", HTML_PAGE_EXP_A), ("7", HTML_PAGE_EXP_B)],
         "page_id string, html string",
-    ).coalesce(1)  # 2 fixture rows: one Arrow batch / one python worker, not 32 near-empty tasks
+    )  # 2 fixture rows: one Arrow batch / one python worker, not 32 near-empty tasks
     out = normalize_expense_pages(scan_html_tables(pages, min_tables=2))
     return out.select(
         "county_fips", "page_updated_at",
@@ -712,9 +716,9 @@ def q_html_extract_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     from wage_etl_spark.operators.reshape import normalize_scanned_pages
     from wage_etl_spark.sources.html_table import scan_html_tables
 
-    pages = spark.createDataFrame(
-        [("34001", HTML_PAGE_1), ("7", HTML_PAGE_2)], "page_id string, html string"
-    ).coalesce(1)  # see q_expense_extract_lifecycle: fixture-sized input, single task
+    pages = fixture_df(
+        spark, [("34001", HTML_PAGE_1), ("7", HTML_PAGE_2)], "page_id string, html string"
+    )  # see q_expense_extract_lifecycle: fixture-sized input, single task
     out = normalize_scanned_pages(scan_html_tables(pages))
     return out.select(
         "county_fips", "page_updated_at",

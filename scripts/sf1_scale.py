@@ -236,8 +236,13 @@ def main() -> None:
                 for name in QUERY_NAMES
             }
         else:
-            result["corpus"] = prior.get("corpus")
-            result["queries"] = prior.get("queries")
+            # omit (rather than write null) when the prior artifact lacks the
+            # section: bench.py's _sf1_section iterates s.get("queries", {})
+            # and a present-but-null key would crash every BASELINE.md rebuild
+            if prior.get("corpus") is not None:
+                result["corpus"] = prior["corpus"]
+            if prior.get("queries") is not None:
+                result["queries"] = prior["queries"]
         if phase == "queries":
             for k in ("cdc_ref", "cdc_sf1", "cdc_throughput_ratio"):
                 if k in prior:
@@ -265,11 +270,13 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "sf1_scale.json"), "w") as f:
         json.dump(result, f, indent=1)
+    # the artifact is already on disk; keep the summary robust to partial
+    # artifacts (e.g. SF1_PHASE=queries with no prior cdc section)
     print(json.dumps({
-        "cdc_sf1_events_per_sec": result["cdc_sf1"]["events_per_sec"],
-        "cdc_ref_events_per_sec": result["cdc_ref"]["events_per_sec"],
-        "cdc_throughput_ratio": result["cdc_throughput_ratio"],
-        "verify_equal": result["cdc_sf1"].get("verify_equal"),
+        "cdc_sf1_events_per_sec": (result.get("cdc_sf1") or {}).get("events_per_sec"),
+        "cdc_ref_events_per_sec": (result.get("cdc_ref") or {}).get("events_per_sec"),
+        "cdc_throughput_ratio": result.get("cdc_throughput_ratio"),
+        "verify_equal": (result.get("cdc_sf1") or {}).get("verify_equal"),
         "detail": "BENCH/sf1_scale.json",
     }))
 

@@ -97,8 +97,10 @@ def melt(
 
 
 def family_config_dim(spark) -> DataFrame:
-    return spark.createDataFrame(
-        FAMILY_CONFIGS, "family string, adults int, working_adults int, children int"
+    from wage_etl_spark.sources.fixtures import fixture_df
+
+    return fixture_df(
+        spark, FAMILY_CONFIGS, "family string, adults int, working_adults int, children int"
     )
 
 

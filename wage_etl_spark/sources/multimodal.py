@@ -302,7 +302,9 @@ def synthesize_real_media(spark: SparkSession, n: int = 30, seed: int = 7) -> Da
     # decode pass costs one python-worker round-trip, not defaultParallelism
     # near-empty tasks (the lake-scale path gets its partitioning from the
     # source table, never from this generator)
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    from wage_etl_spark.sources.fixtures import fixture_df
+
+    return fixture_df(spark, rows, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

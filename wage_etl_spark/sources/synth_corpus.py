@@ -89,6 +89,9 @@ def synthesize_documents(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if len(b) == 0:
+                # zero-row batches make np.repeat's offsets math raise
+                continue
             r = b["id"].to_numpy(dtype=np.int64)
             # content key: pair members share it; independents use their row
             is_pair = r < 2 * n_pairs
