@@ -457,7 +457,13 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 60
     """(id, simhash) via explode + flat per-bit vote aggregates — the
     codegen-friendly shape (the expression form in functions/hashing is
     interpreted and ~50x slower at corpus scale; see minhash_signatures)."""
-    toks = widen_if_narrow(df).select(
+    # deliberately NOT widen_if_narrow'd (unlike minhash_signatures): the
+    # per-token work here (~1 md5 + 60 bit-tests) is 4-8x lighter than the
+    # shingle+4-md5 pipeline, and a 4-way A/B at bench scale measured the
+    # widening shuffle as a net +~0.4 s that the parallelized map never
+    # repays; at production scale the input already carries >= cores splits
+    # and the widen would be a no-op anyway, so skipping it costs nothing.
+    toks = df.select(
         F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("_t")
     )
     hashed = toks.select(
